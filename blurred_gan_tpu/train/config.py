@@ -1,0 +1,48 @@
+"""Training configuration dataclasses (reference: wgan.py:19-43,255-261;
+blurred_gan.py:25-27).
+
+Same nested-refinement pattern as the reference — each GAN flavour's hyperparameters
+subclass the previous — with CLI flags and JSON sidecars via the mixins in
+``utils.config``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from blurred_gan_tpu.utils.config import JsonSerializable, ParseableFromCommandLine
+
+
+@dataclass
+class TrainingConfig(JsonSerializable, ParseableFromCommandLine):
+    """Run-level configuration (wgan.py:19-25)."""
+
+    log_dir: str = "results/log"
+    checkpoint_dir: str = "results/log/checkpoints"
+    save_image_summaries_interval: int = 50
+
+
+@dataclass
+class WGANHyperParameters(JsonSerializable, ParseableFromCommandLine):
+    """WGAN.HyperParameters (wgan.py:34-43)."""
+
+    learning_rate: float = 0.001
+    d_steps_per_g_step: int = 1
+    batch_size: int = 32           # per replica
+    global_batch_size: int = 32    # batch_size * num replicas
+    optimizer: str = "adam"
+
+
+@dataclass
+class WGANGPHyperParameters(WGANHyperParameters):
+    """WGANGP.HyperParameters (wgan.py:255-261)."""
+
+    e_drift: float = 1e-4
+    gp_coefficient: float = 10.0
+
+
+@dataclass
+class BlurredWGANGPHyperParameters(WGANGPHyperParameters):
+    """BlurredGAN.HyperParameters (blurred_gan.py:25-27)."""
+
+    initial_blur_std: float = 0.05

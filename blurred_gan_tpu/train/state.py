@@ -1,0 +1,117 @@
+"""Pure-functional train state (replaces the reference's mutable Keras model).
+
+The reference keeps everything as mutable attributes on a ``tf.keras.Model``
+(wgan.py:46-84): two optimizers, G/D weights, BN statistics, and the progress
+counters ``n_img``/``n_batches`` (wgan.py:70-71) that the checkpoint captures. Here
+the same state is one immutable pytree threaded through a jitted step — and the blur
+sigma is a *step input*, not state, so the host scheduler can move it every batch
+without touching device state (SURVEY.md §5.2's race note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from blurred_gan_tpu.ops.blur import blur_images
+
+
+@dataclass(frozen=True)
+class GAN:
+    """Static definition of a GAN: the two networks + the blur composition flag.
+
+    ``blurred=True`` composes the Gaussian blur in front of the critic exactly like
+    the reference's ``BlurredVariant`` factory (blurred_gan.py:17-49): reals, fakes
+    and the GP interpolates all pass through the blur, whose sigma is fed per step.
+    """
+
+    generator: nn.Module
+    discriminator: nn.Module
+    latent_size: int = 100
+    blurred: bool = True
+    remat_critic: bool = False  # rematerialise D in the GP double-backward
+
+    def sample_latents(self, rng, batch: int):
+        """Uniform [0, 1) latents (wgan.py:116-118)."""
+        return jax.random.uniform(rng, (batch, self.latent_size), jnp.float32)
+
+    def generate(self, g_params, g_stats, z, *, train: bool):
+        variables = {"params": g_params, "batch_stats": g_stats}
+        if train:
+            return self.generator.apply(variables, z, train=True,
+                                        mutable=["batch_stats"])
+        return self.generator.apply(variables, z, train=False), {"batch_stats": g_stats}
+
+    def critic(self, d_params, images, sigma, *, train: bool, rng=None):
+        """Blur (if configured) then score. ``train`` toggles dropout."""
+        x = blur_images(images, sigma) if self.blurred else images
+        apply = self.discriminator.apply
+        if self.remat_critic:
+            apply = jax.checkpoint(apply, static_argnums=())
+        if train:
+            return apply({"params": d_params}, x, train=True,
+                         rngs={"dropout": rng})
+        return apply({"params": d_params}, x, train=False)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    """Everything the checkpoint must capture (SURVEY.md §5.4)."""
+
+    g_params: Any
+    g_stats: Any
+    d_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    n_img: jnp.ndarray       # images seen — the global step (wgan.py:100)
+    n_batches: jnp.ndarray
+
+
+def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformation:
+    """Optimizer factory for the hparams ``optimizer`` string (wgan.py:56-61).
+
+    Adam epsilon 1e-7 matches tf.keras defaults.
+    """
+    name = name.lower()
+    if name == "adam":
+        return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+    if name == "sgd":
+        return optax.sgd(learning_rate)
+    if name == "rmsprop":
+        return optax.rmsprop(learning_rate)
+    raise ValueError(f"unknown optimizer '{name}'")
+
+
+def create_train_state(gan: GAN, hparams, rng, image_shape) -> TrainState:
+    """Initialise parameters, BN stats and both optimizer states.
+
+    ``image_shape`` is (H, W, C) of the training images.
+    """
+    g_rng, d_rng = jax.random.split(rng)
+    z = jnp.zeros((1, gan.latent_size), jnp.float32)
+    g_vars = gan.generator.init(g_rng, z, train=False)
+    x = jnp.zeros((1, *image_shape), jnp.float32)
+    d_vars = gan.discriminator.init(d_rng, x, train=False)
+
+    opt = make_optimizer(hparams.optimizer, hparams.learning_rate)
+    g_params = g_vars["params"]
+    g_stats = g_vars.get("batch_stats", {})
+    d_params = d_vars["params"]
+    return TrainState(
+        g_params=g_params,
+        g_stats=g_stats,
+        d_params=d_params,
+        g_opt_state=opt.init(g_params),
+        d_opt_state=opt.init(d_params),
+        n_img=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+        n_batches=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+    )
+
+
+def count_params(tree) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))

@@ -1,0 +1,152 @@
+"""The jitted train step: disc update every batch, gen update every
+``d_steps_per_g_step`` batches, all inside one XLA program.
+
+Replaces the reference's eager shell + two @tf.functions
+(wgan.py:86-114,132-151,159-172). Sequencing preserved: the generator step runs
+*after* the discriminator update (using the freshly updated critic), and fires when
+``n_batches % d_steps_per_g_step == 0`` evaluated *before* the counter increments
+(wgan.py:105-106,110-112) — here as a ``lax.cond`` so the whole step is one program.
+
+Sharding: with a ``jax.sharding.Mesh`` the batch is sharded over the ``data`` axis
+and all state is replicated; the ``sum(...)/global_batch_size`` losses then reduce to
+the global mean through the psums XLA inserts — exactly the contract the reference's
+loss scaling anticipates (wgan.py:130,157; SURVEY.md §5.8). BatchNorm statistics in
+the generator are computed over the *global* batch (cross-replica BN): deterministic
+w.r.t. device count, which single-device parity tests rely on.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from blurred_gan_tpu.losses.wgan import (
+    wgan_discriminator_loss,
+    wgan_generator_loss,
+    wgangp_discriminator_loss,
+)
+from blurred_gan_tpu.train.state import GAN, TrainState, make_optimizer
+
+
+def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
+                    donate_state: bool = True):
+    """Build ``step(state, reals, sigma, rng) -> (state, metrics, fakes)``.
+
+    ``reals`` is the *global* batch (NHWC, float32 in [-1, 1] — or uint8, which is
+    normalised on device to save 4x host->device bandwidth). ``sigma`` is the blur
+    std for this step (traced scalar). ``rng`` is a fresh per-step key.
+    """
+    opt = make_optimizer(hparams.optimizer, hparams.learning_rate)
+    global_bs = float(hparams.global_batch_size)
+    gp_coefficient = getattr(hparams, "gp_coefficient", None)
+    e_drift = getattr(hparams, "e_drift", 0.0)
+    use_gp = gp_coefficient is not None
+
+    def disc_loss_fn(d_params, reals, fakes, sigma, drop_f, drop_r, gp_rng):
+        fake_scores = gan.critic(d_params, fakes, sigma, train=True, rng=drop_f)
+        real_scores = gan.critic(d_params, reals, sigma, train=True, rng=drop_r)
+        if use_gp:
+            critic_eval = lambda x: gan.critic(d_params, x, sigma, train=False)
+            loss, aux = wgangp_discriminator_loss(
+                critic_eval, reals, fakes, real_scores, fake_scores, gp_rng,
+                global_batch_size=global_bs, gp_coefficient=gp_coefficient,
+                e_drift=e_drift)
+        else:
+            loss = wgan_discriminator_loss(real_scores, fake_scores, global_bs)
+            aux = {"wgan_loss": loss,
+                   "gp_term": jnp.float32(0.0), "norm_term": jnp.float32(0.0)}
+        aux["fake_scores"] = jnp.mean(fake_scores)
+        aux["real_scores"] = jnp.mean(real_scores)
+        return loss, aux
+
+    def gen_loss_fn(g_params, g_stats, d_params, z, sigma):
+        (fakes, new_vars) = gan.generate(g_params, g_stats, z, train=True)
+        fake_scores = gan.critic(d_params, fakes, sigma, train=False)
+        loss = wgan_generator_loss(fake_scores, global_bs)
+        return loss, new_vars["batch_stats"]
+
+    def step(state: TrainState, reals, sigma, rng
+             ) -> Tuple[TrainState, Dict[str, Any], jnp.ndarray]:
+        if reals.dtype == jnp.uint8:
+            reals = (reals.astype(jnp.float32) - 127.5) / 127.5
+        batch = reals.shape[0]
+        sigma = jnp.asarray(sigma, jnp.float32)
+        k_zd, k_df, k_dr, k_gp, k_zg = jax.random.split(rng, 5)
+
+        # ---- discriminator step (wgan.py:132-151) ----
+        z_d = gan.sample_latents(k_zd, batch)
+        fakes, _ = gan.generate(state.g_params, state.g_stats, z_d, train=False)
+        (d_loss, aux), d_grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(
+            state.d_params, reals, fakes, sigma, k_df, k_dr, k_gp)
+        d_updates, d_opt_state = opt.update(d_grads, state.d_opt_state,
+                                            state.d_params)
+        d_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.d_params, d_updates)
+
+        # ---- generator step, every d_steps_per_g_step batches (wgan.py:105-106) ----
+        do_gen = (state.n_batches % hparams.d_steps_per_g_step) == 0
+
+        def gen_branch(operand):
+            g_params, g_stats, g_opt_state = operand
+            z_g = gan.sample_latents(k_zg, batch)
+            (g_loss, new_stats), g_grads = jax.value_and_grad(
+                gen_loss_fn, has_aux=True)(g_params, g_stats, d_params, z_g, sigma)
+            g_updates, new_g_opt = opt.update(g_grads, g_opt_state, g_params)
+            new_g_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, g_params, g_updates)
+            return new_g_params, new_stats, new_g_opt, g_loss
+
+        def skip_branch(operand):
+            g_params, g_stats, g_opt_state = operand
+            return g_params, g_stats, g_opt_state, jnp.float32(0.0)
+
+        g_params, g_stats, g_opt_state, g_loss = jax.lax.cond(
+            do_gen, gen_branch, skip_branch,
+            (state.g_params, state.g_stats, state.g_opt_state))
+
+        new_state = state.replace(
+            g_params=g_params, g_stats=g_stats, d_params=d_params,
+            g_opt_state=g_opt_state, d_opt_state=d_opt_state,
+            n_img=state.n_img + batch, n_batches=state.n_batches + 1)
+
+        metrics = {
+            "disc_loss": d_loss,
+            "gen_loss": g_loss,
+            "did_gen_step": do_gen,
+            "std": sigma,
+            **aux,
+        }
+        return new_state, metrics, fakes
+
+    donate = (0,) if donate_state else ()
+    if mesh is None:
+        return jax.jit(step, donate_argnums=donate)
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    # Shardings by position: state replicated, batch data-sharded, scalars replicated.
+    return jax.jit(
+        step,
+        in_shardings=(replicated, batch_sharded, replicated, replicated),
+        out_shardings=(replicated, replicated, batch_sharded),
+        donate_argnums=donate,
+    )
+
+
+def make_sample_fn(gan: GAN, mesh: Mesh | None = None):
+    """Jitted ``sample(state, latents) -> images`` (wgan.py:120-123 capability)."""
+
+    def sample(state: TrainState, latents):
+        fakes, _ = gan.generate(state.g_params, state.g_stats, latents, train=False)
+        return fakes
+
+    if mesh is None:
+        return jax.jit(sample)
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(sample, in_shardings=(replicated, batch_sharded),
+                   out_shardings=batch_sharded)
