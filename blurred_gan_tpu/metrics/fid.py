@@ -1,0 +1,199 @@
+"""Fréchet Inception Distance (FID), streaming and TPU-friendly.
+
+Capability parity with the reference's FID stack (/root/reference/metrics.py:17-90,
+160-184): Fréchet distance ``‖μ₁−μ₂‖² + Tr(Σ₁+Σ₂−2√(Σ₁Σ₂))`` with the
+TTUR-derived numerically-safe matrix sqrt (eps jitter on singular products,
+imaginary-part guard — metrics.py:42-75), computed between feature distributions of
+real and generated images.
+
+TPU-first redesign instead of the reference's concat-everything approach
+(metrics.py:172-183, which stores every activation batch): features are reduced to
+**streaming moments on device** — running ``n``, ``Σx`` and ``ΣxxT`` — so memory is
+O(D²) regardless of sample count, and only the (D,) mean and (D,D) covariance cross
+to the host for the final ``sqrtm`` (the one genuinely host-side op; dense matrix
+square roots of non-symmetric products need a Schur decomposition, which XLA doesn't
+expose).
+
+Feature extractors are pluggable callables ``(N,H,W,C) -> (N,D)``. The reference
+pulls InceptionV3 from TF-Hub (metrics.py:169-170) — a network fetch this framework
+can't assume; the built-in default is :func:`random_conv_features`, a fixed-seed
+random strided-conv embedding (random-feature FID is a documented evaluation
+technique and is deterministic across runs by construction). Any extractor with real
+Inception weights plugs in unchanged via ``FIDMetric(feature_fn=...)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+
+# ---------------------------------------------------------------------------
+# Fréchet distance (host sqrtm, everything else device-side)
+# ---------------------------------------------------------------------------
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """TTUR-safe Fréchet distance between two Gaussians (metrics.py:42-75)."""
+    mu1 = np.atleast_1d(np.asarray(mu1, np.float64))
+    mu2 = np.atleast_1d(np.asarray(mu2, np.float64))
+    sigma1 = np.atleast_2d(np.asarray(sigma1, np.float64))
+    sigma2 = np.atleast_2d(np.asarray(sigma2, np.float64))
+    assert mu1.shape == mu2.shape, "mean vectors have different lengths"
+    assert sigma1.shape == sigma2.shape, "covariances have different dimensions"
+
+    diff = mu1 - mu2
+    covmean, _ = scipy.linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = scipy.linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError(
+                f"Imaginary component {np.max(np.abs(covmean.imag))}")
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * np.trace(covmean))
+
+
+# ---------------------------------------------------------------------------
+# Streaming feature moments (device)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _accumulate(n, s, ss, feats):
+    feats = feats.astype(jnp.float32)
+    return (n + feats.shape[0],
+            s + jnp.sum(feats, axis=0),
+            ss + feats.T @ feats)
+
+
+class FeatureStats:
+    """Running (n, Σx, ΣxxT) over feature batches; finalises to (μ, Σ).
+
+    Covariance uses the unbiased (n-1) normaliser, matching ``np.cov`` as used at
+    metrics.py:46-47.
+    """
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self.n = jnp.zeros((), jnp.float32)
+        self.s = jnp.zeros((dim,), jnp.float32)
+        self.ss = jnp.zeros((dim, dim), jnp.float32)
+
+    def update(self, feats) -> None:
+        assert feats.ndim == 2 and feats.shape[1] == self.dim
+        self.n, self.s, self.ss = _accumulate(self.n, self.s, self.ss, feats)
+
+    def reset(self) -> None:
+        self.n = jnp.zeros((), jnp.float32)
+        self.s = jnp.zeros((self.dim,), jnp.float32)
+        self.ss = jnp.zeros((self.dim, self.dim), jnp.float32)
+
+    def finalize(self):
+        n = float(self.n)
+        assert n >= 2, "need at least 2 samples for a covariance"
+        mu = np.asarray(self.s) / n
+        ss = np.asarray(self.ss, dtype=np.float64)
+        sigma = (ss - n * np.outer(mu, mu)) / (n - 1.0)
+        return mu, sigma
+
+
+# ---------------------------------------------------------------------------
+# Feature extractors
+# ---------------------------------------------------------------------------
+
+
+def random_conv_features(image_shape, dim: int = 2048, seed: int = 0,
+                         ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Fixed-seed random strided-conv embedding ``(N,H,W,C) -> (N,dim)``.
+
+    A deterministic, download-free stand-in for the reference's TF-Hub InceptionV3
+    feature vector (metrics.py:169-170): 4 stride-2 5×5 conv + leaky-relu stages
+    (random orthogonal-ish Gaussian filters, fixed seed), global average pool over
+    the spatial grid per channel, then a fixed random projection to ``dim``. All
+    matmul/conv work — MXU-friendly and jitted once.
+    """
+    h, w, c = image_shape
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 6)
+    widths = [64, 128, 256, 256]
+    kernels = []
+    in_c = c
+    for i, out_c in enumerate(widths):
+        fan_in = 5 * 5 * in_c
+        k = jax.random.normal(ks[i], (5, 5, in_c, out_c), jnp.float32)
+        kernels.append(k * np.sqrt(2.0 / fan_in))
+        in_c = out_c
+    proj = jax.random.normal(ks[5], (in_c, dim), jnp.float32) / np.sqrt(in_c)
+
+    @jax.jit
+    def extract(images):
+        x = images.astype(jnp.float32)
+        for k in kernels:
+            dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            x = jax.lax.conv_general_dilated(x, k, (2, 2), "SAME",
+                                             dimension_numbers=dn)
+            x = jax.nn.leaky_relu(x, 0.2)
+        x = jnp.mean(x, axis=(1, 2))
+        return x @ proj
+
+    return extract
+
+
+# ---------------------------------------------------------------------------
+# Streaming metric (the reference's FIDMetric protocol)
+# ---------------------------------------------------------------------------
+
+
+class FIDMetric:
+    """Streaming FID with the reference's update/result protocol
+    (metrics.py:160-184): feed (reals, fakes) minibatches, ``result()`` returns the
+    scalar FID, ``reset_states()`` clears.
+
+    ``feature_fn`` maps an NHWC image batch to (N, D) features; if None it is built
+    lazily from the first batch's shape via :func:`random_conv_features`.
+    """
+
+    name = "FID"
+
+    def __init__(self, feature_fn: Optional[Callable] = None,
+                 feature_dim: int = 2048, seed: int = 0):
+        self.feature_fn = feature_fn
+        self.feature_dim = feature_dim
+        self.seed = seed
+        self._real: Optional[FeatureStats] = None
+        self._fake: Optional[FeatureStats] = None
+
+    def _build(self, batch):
+        if self.feature_fn is None:
+            self.feature_fn = random_conv_features(
+                batch.shape[1:], dim=self.feature_dim, seed=self.seed)
+        dim = int(self.feature_fn(batch[:1]).shape[1])
+        self._real = FeatureStats(dim)
+        self._fake = FeatureStats(dim)
+
+    def update_state(self, real_minibatch, fake_minibatch) -> None:
+        real_minibatch = jnp.asarray(real_minibatch)
+        fake_minibatch = jnp.asarray(fake_minibatch)
+        if self._real is None:
+            self._build(real_minibatch)
+        self._real.update(self.feature_fn(real_minibatch))
+        self._fake.update(self.feature_fn(fake_minibatch))
+
+    def reset_states(self) -> None:
+        if self._real is not None:
+            self._real.reset()
+            self._fake.reset()
+
+    def result(self) -> float:
+        mu_r, sig_r = self._real.finalize()
+        mu_f, sig_f = self._fake.finalize()
+        return frechet_distance(mu_r, sig_r, mu_f, sig_f)
