@@ -1,0 +1,286 @@
+"""Host-side input pipelines feeding the device train step.
+
+Capability parity with the reference's tf.data pipelines
+(/root/reference/demo_mnist.py:17-45, demo_celeba.py:15-48): dataset → decode →
+normalise to [-1, 1] → (resize) → cache → shuffle → batch → prefetch. TPU-first
+redesign:
+
+- Batches cross the host→device boundary as **uint8** and are normalised on-chip
+  inside the jitted step (train/step.py) — 4× less PCIe/DMA traffic than shipping
+  float32, and the normalisation fuses into the first conv's prologue.
+- Shuffling is an index-permutation pass over a memory-resident uint8 store (MNIST
+  is 45 MB; CelebA-128 at uint8 is ~9.5 GB — for larger-than-RAM corpora use
+  :func:`image_folder_dataset` which decodes lazily per batch with a shuffle
+  window).
+- **Prefetch** runs on a background thread with a bounded queue so JPEG decode /
+  permutation overlaps device compute (the tf.data AUTOTUNE capability,
+  demo_mnist.py:39-43).
+- Every epoch's permutation derives from a seed + epoch counter, so a resumed run
+  re-creates the exact stream position (checkpoint/resume parity, SURVEY.md §5.4).
+
+Dataset sources: ``load_mnist`` / ``load_celeba`` read standard local files
+(``mnist.npz`` Keras layout; a directory of CelebA JPEGs) from ``$DATASETS_DIR`` or
+an explicit path — matching the reference's ``$DATASETS_DIR`` convention
+(demo_mnist.py:33). When no local data exists (e.g. an air-gapped box) they fall
+back to :func:`synthetic_dataset`, a deterministic procedural corpus with matching
+shapes, and say so loudly — training plumbing stays exercisable anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class ArrayDataset:
+    """A memory-resident uint8 NHWC image store with epoch-seeded shuffling."""
+
+    def __init__(self, images: np.ndarray, name: str = "array"):
+        assert images.ndim == 4 and images.dtype == np.uint8, \
+            "expected uint8 NHWC"
+        self.images = images
+        self.name = name
+
+    @property
+    def num_examples(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def image_shape(self) -> Tuple[int, int, int]:
+        return tuple(self.images.shape[1:])
+
+    def batches(self, batch_size: int, *, seed: int = 0, start_epoch: int = 0,
+                start_batch: int = 0,
+                drop_remainder: bool = True) -> Iterator[np.ndarray]:
+        """Infinite epoch-shuffled uint8 batch stream.
+
+        ``start_epoch``/``start_batch`` resume the deterministic stream
+        mid-run (checkpoint/resume contract: position is pure index math, no
+        batches are decoded just to be skipped).
+        """
+        epoch = start_epoch
+        n = self.num_examples
+        first = start_batch * batch_size
+        while True:
+            order = np.random.RandomState(seed + epoch).permutation(n)
+            end = n - (n % batch_size) if drop_remainder else n
+            for i in range(first, end, batch_size):
+                yield self.images[order[i:i + batch_size]]
+            epoch += 1
+            first = 0
+
+
+def synthetic_dataset(image_shape: Tuple[int, int, int] = (28, 28, 1),
+                      num_examples: int = 4096, seed: int = 0,
+                      ) -> ArrayDataset:
+    """Deterministic procedural images (blobs of varying position/scale/phase).
+
+    Not noise: images have spatial structure at several scales so blur schedules,
+    SWD pyramids and FID features all produce meaningful, reproducible numbers in
+    tests and benchmarks.
+    """
+    h, w, c = image_shape
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    yy, xx = yy / h, xx / w
+    out = np.empty((num_examples, h, w, c), np.uint8)
+    for i in range(num_examples):
+        img = np.zeros((h, w), np.float32)
+        for _ in range(3):
+            cy, cx = rng.rand(2)
+            s = 0.03 + 0.12 * rng.rand()
+            a = 0.4 + 0.6 * rng.rand()
+            img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+        fy, fx, ph = rng.rand(3)
+        img += 0.2 * np.sin(2 * np.pi * (3 * fy * yy + 3 * fx * xx + ph))
+        img = (img - img.min()) / (np.ptp(img) + 1e-6)
+        for ch in range(c):
+            gain = 1.0 if c == 1 else 0.6 + 0.4 * rng.rand()
+            out[i, :, :, ch] = np.uint8(np.clip(img * gain * 255, 0, 255))
+    return ArrayDataset(out, name=f"synthetic{h}x{w}x{c}")
+
+
+def _datasets_dir() -> str:
+    return os.environ.get("DATASETS_DIR", os.path.expanduser("~/datasets"))
+
+
+def load_mnist(path: Optional[str] = None, split: str = "train",
+               allow_synthetic_fallback: bool = True) -> ArrayDataset:
+    """MNIST 28×28×1 from a local ``mnist.npz`` (Keras layout: x_train/x_test).
+
+    Reference pipeline semantics (demo_mnist.py:17-45): train split, 60k examples.
+    Searches ``path``, ``$DATASETS_DIR/mnist.npz``, ``~/.keras/datasets/mnist.npz``.
+    """
+    candidates = [path] if path else [
+        os.path.join(_datasets_dir(), "mnist.npz"),
+        os.path.expanduser("~/.keras/datasets/mnist.npz"),
+    ]
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            with np.load(cand) as d:
+                x = d["x_train" if split == "train" else "x_test"]
+            return ArrayDataset(x[..., None].astype(np.uint8), name="mnist")
+    if not allow_synthetic_fallback:
+        raise FileNotFoundError(
+            f"mnist.npz not found in {candidates}; set $DATASETS_DIR or pass path=")
+    print("[data] mnist.npz not found locally - using deterministic synthetic "
+          "28x28x1 surrogate (60000 examples)")
+    return synthetic_dataset((28, 28, 1), num_examples=60_000)
+
+
+def load_celeba(path: Optional[str] = None, resolution: int = 128,
+                num_examples: Optional[int] = None,
+                allow_synthetic_fallback: bool = True):
+    """CelebA at ``resolution``² from a local directory of aligned JPEGs.
+
+    Reference pipeline semantics (demo_celeba.py:15-48): ALL split (202,599
+    images), centre-crop then resize to resolution², [-1, 1] normalisation (done
+    on device here). Searches ``path`` then ``$DATASETS_DIR/celeba*/``.
+    """
+    candidates = [path] if path else [
+        os.path.join(_datasets_dir(), "celeba", "img_align_celeba"),
+        os.path.join(_datasets_dir(), "celeb_a"),
+        os.path.join(_datasets_dir(), "celeba"),
+    ]
+    for cand in candidates:
+        if cand and os.path.isdir(cand):
+            return image_folder_dataset(cand, resolution=resolution,
+                                        num_examples=num_examples)
+    if not allow_synthetic_fallback:
+        raise FileNotFoundError(
+            f"no CelebA image dir found in {candidates}")
+    n = num_examples or 202_599
+    print(f"[data] CelebA not found locally - using deterministic synthetic "
+          f"{resolution}x{resolution}x3 surrogate ({n} examples)")
+    return synthetic_dataset((resolution, resolution, 3),
+                             num_examples=min(n, 20_000))
+
+
+class ImageFolderDataset:
+    """Lazily-decoded image-directory dataset with windowed shuffling.
+
+    For corpora too large to hold decoded in RAM (CelebA-128 ≈ 9.5 GB uint8).
+    Decode happens on the prefetch thread; images are centre-cropped to square
+    then resized to ``resolution``² (the reference's CelebA preprocessing,
+    demo_celeba.py:24-40).
+    """
+
+    def __init__(self, root: str, resolution: int,
+                 num_examples: Optional[int] = None,
+                 extensions: Sequence[str] = (".jpg", ".jpeg", ".png")):
+        self.root = root
+        self.resolution = resolution
+        files: List[str] = []
+        for name in sorted(os.listdir(root)):
+            if name.lower().endswith(tuple(extensions)):
+                files.append(os.path.join(root, name))
+            if num_examples and len(files) >= num_examples:
+                break
+        if not files:
+            raise FileNotFoundError(f"no images under {root}")
+        self.files = files
+        self.name = f"folder:{os.path.basename(root)}@{resolution}"
+
+    @property
+    def num_examples(self) -> int:
+        return len(self.files)
+
+    @property
+    def image_shape(self) -> Tuple[int, int, int]:
+        return (self.resolution, self.resolution, 3)
+
+    def _decode(self, fp: str) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(fp).convert("RGB")
+        w, h = img.size
+        side = min(w, h)
+        img = img.crop(((w - side) // 2, (h - side) // 2,
+                        (w + side) // 2, (h + side) // 2))
+        img = img.resize((self.resolution, self.resolution), Image.BILINEAR)
+        return np.asarray(img, np.uint8)
+
+    def batches(self, batch_size: int, *, seed: int = 0, start_epoch: int = 0,
+                start_batch: int = 0,
+                drop_remainder: bool = True) -> Iterator[np.ndarray]:
+        epoch = start_epoch
+        n = len(self.files)
+        first = start_batch * batch_size
+        while True:
+            order = np.random.RandomState(seed + epoch).permutation(n)
+            end = n - (n % batch_size) if drop_remainder else n
+            for i in range(first, end, batch_size):
+                idx = order[i:i + batch_size]
+                yield np.stack([self._decode(self.files[j]) for j in idx])
+            epoch += 1
+            first = 0
+
+
+def image_folder_dataset(root: str, resolution: int = 128,
+                         num_examples: Optional[int] = None):
+    return ImageFolderDataset(root, resolution, num_examples)
+
+
+class DataPipeline:
+    """Background-thread prefetch over a dataset's batch stream.
+
+    ``DataPipeline(ds, batch_size).__iter__()`` yields uint8 NHWC numpy batches
+    while the next ones decode/permute concurrently (bounded queue, default depth
+    2 — the tf.data ``prefetch(AUTOTUNE)`` capability, demo_mnist.py:39-43).
+    """
+
+    def __init__(self, dataset, batch_size: int, *, seed: int = 0,
+                 start_epoch: int = 0, start_batch: int = 0, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.start_epoch = start_epoch
+        self.start_batch = start_batch
+        self.prefetch = prefetch
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._queue: Optional[queue.Queue] = None
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return self.dataset.num_examples // self.batch_size
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        self._queue = queue.Queue(maxsize=self.prefetch)
+        self._stop.clear()
+
+        def worker():
+            it = self.dataset.batches(self.batch_size, seed=self.seed,
+                                      start_epoch=self.start_epoch,
+                                      start_batch=self.start_batch)
+            for batch in it:
+                if self._stop.is_set():
+                    return
+                while True:
+                    try:
+                        self._queue.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        if self._stop.is_set():
+                            return
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+        try:
+            while True:
+                yield self._queue.get()
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._queue is not None:
+            try:  # unblock a worker stuck on put()
+                while True:
+                    self._queue.get_nowait()
+            except queue.Empty:
+                pass

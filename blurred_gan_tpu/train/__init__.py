@@ -6,8 +6,25 @@ from blurred_gan_tpu.train.config import (
 )
 from blurred_gan_tpu.train.state import TrainState, GAN, create_train_state
 from blurred_gan_tpu.train.step import make_train_step, make_sample_fn
+from blurred_gan_tpu.train.hooks import EveryNExamples, HookList
+from blurred_gan_tpu.train.checkpoint import (
+    CheckpointManager,
+    save_on_interrupt,
+    save_sidecars,
+    load_sidecar,
+)
+from blurred_gan_tpu.train.loop import Trainer, TrainerConfig, MetricFeeder
 
 __all__ = [
+    "EveryNExamples",
+    "HookList",
+    "CheckpointManager",
+    "save_on_interrupt",
+    "save_sidecars",
+    "load_sidecar",
+    "Trainer",
+    "TrainerConfig",
+    "MetricFeeder",
     "TrainingConfig",
     "WGANHyperParameters",
     "WGANGPHyperParameters",

@@ -1,0 +1,136 @@
+"""Checkpoint / resume on the TrainState pytree (Orbax async under the hood).
+
+Capability parity with the reference's checkpointing (SURVEY.md §5.4,
+/root/reference/demo_mnist.py:145-171, callbacks.py:239-246, wgan.py:70-71,229-231):
+
+- state captured: G/D params, generator BN stats, **both optimizer states**, the
+  ``n_img``/``n_batches`` counters — plus, beyond the reference, the adaptive blur
+  controller's host state (the reference's σ variable lives inside the model;
+  here σ is derived state of the scheduler, so the scheduler state checkpoints);
+- retention: 5 latest + an hourly keeper (demo_mnist.py:146-151);
+- steps keyed by examples seen (``manager.save(samples_seen)`` semantics,
+  callbacks.py:244-246);
+- auto-restore of the latest checkpoint at startup with hparams/config sidecar
+  JSONs next to the checkpoint dir (demo_mnist.py:153-169);
+- save-on-SIGINT (demo_mnist.py:207-208) via :func:`save_on_interrupt`.
+
+Orbax writes asynchronously — the device keeps training while the previous state
+serialises — which is the TPU-native answer to the reference's blocking
+``manager.save()``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import datetime
+import json
+import os
+import signal
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Orbax-backed manager for (TrainState, host-side aux dict) pairs."""
+
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 keep_time_interval_hours: Optional[float] = 1.0):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            keep_time_interval=(
+                datetime.timedelta(hours=keep_time_interval_hours)
+                if keep_time_interval_hours else None),
+            enable_async_checkpointing=True,
+        )
+        self.directory = directory
+        self._mngr = ocp.CheckpointManager(directory, options=options)
+
+    def save(self, samples_seen: int, state, aux: Optional[Dict] = None) -> None:
+        """Queue an async save keyed by examples seen."""
+        args = {"state": ocp.args.StandardSave(state)}
+        if aux is not None:
+            args["aux"] = ocp.args.JsonSave(aux)
+        self._mngr.save(int(samples_seen), args=ocp.args.Composite(**args))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore_latest(self, state_template
+                       ) -> Optional[Tuple[Any, Dict, int]]:
+        """Restore the newest checkpoint → (state, aux, samples_seen); None if
+        there is none. ``state_template`` provides the pytree structure/shardings
+        (an abstract or concrete TrainState)."""
+        step = self._mngr.latest_step()
+        if step is None:
+            return None
+        has_aux = "aux" in self._item_names(step)
+        args = {"state": ocp.args.StandardRestore(state_template)}
+        if has_aux:
+            args["aux"] = ocp.args.JsonRestore()
+        restored = self._mngr.restore(step, args=ocp.args.Composite(**args))
+        aux = dict(restored.get("aux") or {}) if has_aux else {}
+        return restored["state"], aux, step
+
+    def _item_names(self, step: int):
+        d = os.path.join(self.directory, str(step))
+        try:
+            return [n for n in os.listdir(d) if not n.startswith(".")]
+        except FileNotFoundError:
+            return []
+
+    def wait_until_finished(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.wait_until_finished()
+        self._mngr.close()
+
+
+# ---------------------------------------------------------------------------
+# JSON sidecars (hparams/config next to the checkpoints, demo_mnist.py:153-169)
+# ---------------------------------------------------------------------------
+
+
+def save_sidecars(run_dir: str, hparams=None, config=None) -> None:
+    if hparams is not None:
+        hparams.save_json(os.path.join(run_dir, "hyper_parameters.json"))
+    if config is not None:
+        config.save_json(os.path.join(run_dir, "train_config.json"))
+
+
+def load_sidecar(run_dir: str, cls, filename: str):
+    path = os.path.join(run_dir, filename)
+    if os.path.exists(path):
+        return cls.from_json(path)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Save on Ctrl-C / SIGTERM (demo_mnist.py:207-208, extended to preemption)
+# ---------------------------------------------------------------------------
+
+
+@contextlib.contextmanager
+def save_on_interrupt(save_fn):
+    """Run a training block; on SIGINT/SIGTERM call ``save_fn()`` once, then
+    re-raise KeyboardInterrupt so the caller unwinds. Covers both Ctrl-C and the
+    SIGTERM that TPU spot/queued-resource preemption delivers."""
+    fired = {"done": False}
+
+    def handler(signum, frame):
+        if not fired["done"]:
+            fired["done"] = True
+            save_fn()
+        raise KeyboardInterrupt
+
+    old_int = signal.signal(signal.SIGINT, handler)
+    old_term = signal.signal(signal.SIGTERM, handler)
+    try:
+        yield
+    finally:
+        signal.signal(signal.SIGINT, old_int)
+        signal.signal(signal.SIGTERM, old_term)

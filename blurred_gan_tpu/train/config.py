@@ -18,7 +18,7 @@ class TrainingConfig(JsonSerializable, ParseableFromCommandLine):
     """Run-level configuration (wgan.py:19-25)."""
 
     log_dir: str = "results/log"
-    checkpoint_dir: str = "results/log/checkpoints"
+    checkpoint_dir: str = ""  # empty -> <log_dir>/checkpoints
     save_image_summaries_interval: int = 50
 
 

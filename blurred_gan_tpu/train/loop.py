@@ -1,0 +1,315 @@
+"""The host training driver: data → jitted step → σ scheduling → hooks.
+
+Replaces the reference's ``gan.fit(dataset, callbacks=[...])`` stack
+(/root/reference/demo_mnist.py:187-206 plus the whole callbacks.py layer) with an
+explicit loop around one jitted train step. Everything the Keras loop did implicitly
+is explicit and testable here:
+
+- σ for step N comes from a host-side controller *before* the step is dispatched
+  (open-loop decay: callbacks.py:45-62) or from the adaptive controller fed by step
+  N-1's metrics (callbacks.py:65-135, one-step-lagged so the device pipeline never
+  stalls);
+- example-count hooks (metrics cadence, sample grids, checkpoints, scalar logging)
+  fire from :mod:`train.hooks` with the reference's firing rule;
+- SWD/FID feeders accumulate (reals, fakes) pairs for ``num_samples`` images then
+  write results (callbacks.py:138-206 semantics, with the metric math on device);
+- checkpoint every N examples + on Ctrl-C/SIGTERM, auto-restore at startup
+  (SURVEY.md §5.4), including hook phase and adaptive-controller state;
+- device dispatch is async: the host runs ahead preparing the next batch while the
+  TPU executes, and only metric reads synchronise.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blurred_gan_tpu.sched.blur import (
+    AdaptiveBlurController,
+    BlurDecayController,
+)
+from blurred_gan_tpu.train.checkpoint import (
+    CheckpointManager,
+    save_on_interrupt,
+    save_sidecars,
+)
+from blurred_gan_tpu.train.hooks import EveryNExamples, HookList
+from blurred_gan_tpu.train.state import GAN, TrainState, create_train_state
+from blurred_gan_tpu.train.step import make_sample_fn, make_train_step
+from blurred_gan_tpu.utils.images import normalize_images, samples_grid
+from blurred_gan_tpu.utils.logging import MetricsLogger
+from blurred_gan_tpu.ops.blur import blur_images
+
+
+class MetricFeeder:
+    """Accumulates (reals, fakes) pairs into a metric every N examples
+    (callbacks.py:138-206 capability: trigger, record ``num_samples`` images
+    across subsequent batches, write result, reset)."""
+
+    def __init__(self, metric, every_n_examples: int, num_samples: int,
+                 preprocess_fn: Optional[Callable] = None,
+                 name: Optional[str] = None):
+        self.metric = metric
+        self.num_samples = num_samples
+        self.preprocess_fn = preprocess_fn
+        self.name = name or getattr(metric, "name", "metric")
+        self.recording = False
+        self.samples_recorded = 0
+        self.hook = EveryNExamples(every_n_examples, self._start,
+                                   starting_from=-num_samples, name=self.name)
+
+    def _start(self, samples_seen, logs) -> None:
+        self.recording = True
+
+    def feed(self, reals, fakes) -> Optional[Dict[str, float]]:
+        """Call once per step after ``hook.after_step``; returns results when a
+        measurement completes."""
+        if not self.recording:
+            return None
+        take = min(reals.shape[0],
+                   self.num_samples - self.samples_recorded)
+        r, f = reals[:take], fakes[:take]
+        if self.preprocess_fn is not None:
+            r, f = self.preprocess_fn(r), self.preprocess_fn(f)
+        self.metric.update_state(r, f)
+        self.samples_recorded += take
+        if self.samples_recorded >= self.num_samples:
+            if hasattr(self.metric, "results"):
+                out = {f"{self.name}/{k}": v
+                       for k, v in self.metric.results().items()}
+            else:
+                out = {self.name: float(self.metric.result())}
+            self.recording = False
+            self.samples_recorded = 0
+            self.metric.reset_states()
+            return out
+        return None
+
+
+@dataclass
+class TrainerConfig:
+    """Loop-level knobs (cadences follow demo_mnist.py:174-206 defaults)."""
+
+    log_metrics_every_n_examples: int = 100
+    sample_grid_every_n_examples: int = 5_000
+    checkpoint_every_n_examples: int = 10_000
+    show_blurred_samples: bool = True
+    save_sample_pngs: bool = True
+    log_dir: str = "results/log"
+    checkpoint_dir: Optional[str] = None  # None/"" -> <log_dir>/checkpoints
+    seed: int = 0
+
+
+class Trainer:
+    """Wires state, step, scheduler, hooks, metrics, checkpointing together."""
+
+    def __init__(self, gan: GAN, hparams, dataset, *,
+                 trainer_config: Optional[TrainerConfig] = None,
+                 mesh=None,
+                 blur_controller: Optional[BlurDecayController] = None,
+                 adaptive_controller: Optional[AdaptiveBlurController] = None,
+                 metric_feeders: Sequence[MetricFeeder] = (),
+                 image_shape=None,
+                 config_sidecars: Optional[Dict] = None):
+        self.gan = gan
+        self.hparams = hparams
+        self.dataset = dataset
+        self.cfg = trainer_config or TrainerConfig()
+        self.mesh = mesh
+        self.blur_controller = blur_controller
+        self.adaptive_controller = adaptive_controller
+        self.ada_state = (adaptive_controller.init()
+                          if adaptive_controller else None)
+        self.metric_feeders = list(metric_feeders)
+        image_shape = image_shape or dataset.image_shape
+
+        os.makedirs(self.cfg.log_dir, exist_ok=True)
+        self.logger = MetricsLogger(self.cfg.log_dir)
+        ckpt_dir = self.cfg.checkpoint_dir or os.path.join(
+            self.cfg.log_dir, "checkpoints")
+        self.ckpt = CheckpointManager(ckpt_dir)
+
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        self._init_rng, self._train_rng, grid_rng = jax.random.split(rng, 3)
+        self.state: TrainState = create_train_state(
+            gan, hparams, self._init_rng, image_shape)
+        self.step_fn = make_train_step(gan, hparams, mesh=mesh,
+                                       donate_state=False)
+        self.sample_fn = make_sample_fn(gan, mesh=mesh)
+        # Fixed latents for the sample grid — constant across the run
+        # (callbacks.py:217-224).
+        self.grid_latents = gan.sample_latents(grid_rng, 64)
+
+        if config_sidecars:
+            save_sidecars(self.cfg.log_dir, **config_sidecars)
+            self.logger.hparams(
+                config_sidecars.get("hparams").asdict()
+                if config_sidecars.get("hparams") is not None else {})
+
+        self._maybe_restore()
+        self._build_hooks()
+        self._last_metrics: Dict[str, float] = {}
+        self._stop = False
+
+    # ------------------------------------------------------------------ setup
+
+    def _maybe_restore(self) -> None:
+        restored = self.ckpt.restore_latest(self.state)
+        self._restored_samples = 0
+        if restored is None:
+            return
+        state, aux, step = restored
+        self.state = state
+        self._restored_samples = int(step)
+        if self.adaptive_controller and "adaptive_blur" in aux:
+            self.ada_state = self.adaptive_controller.state_from_dict(
+                aux["adaptive_blur"])
+        print(f"[trainer] restored checkpoint @ {step} examples "
+              f"(n_batches={int(self.state.n_batches)})")
+
+    def _build_hooks(self) -> None:
+        self.hooks = HookList()
+        self.hooks.add(EveryNExamples(
+            self.cfg.log_metrics_every_n_examples, self._log_metrics,
+            name="log_metrics"))
+        self.hooks.add(EveryNExamples(
+            self.cfg.sample_grid_every_n_examples, self._sample_grid,
+            name="sample_grid"))
+        self.hooks.add(EveryNExamples(
+            self.cfg.checkpoint_every_n_examples, self._checkpoint,
+            name="checkpoint"))
+        for feeder in self.metric_feeders:
+            self.hooks.add(feeder.hook)
+        if self._restored_samples:
+            self.hooks.restore(self._restored_samples)
+
+    # ------------------------------------------------------------------ hooks
+
+    def _log_metrics(self, samples_seen: int, logs: Dict) -> None:
+        self.logger.scalars(samples_seen, logs, prefix="batch_")
+
+    def _sample_grid(self, samples_seen: int, logs: Dict) -> None:
+        samples = self.sample_fn(self.state, self.grid_latents)
+        if self.cfg.show_blurred_samples:
+            samples = blur_images(samples, jnp.float32(self._current_sigma))
+        grid = samples_grid(normalize_images(np.asarray(samples)))
+        self.logger.image(samples_seen, "samples_grid", grid)
+        if self.cfg.save_sample_pngs:
+            from PIL import Image
+
+            Image.fromarray(grid).save(os.path.join(
+                self.cfg.log_dir, f"samples_grid_{samples_seen:08d}.png"))
+
+    def _checkpoint(self, samples_seen: int, logs: Dict) -> None:
+        aux = {}
+        if self.ada_state is not None:
+            aux["adaptive_blur"] = AdaptiveBlurController.state_to_dict(
+                self.ada_state)
+        self.ckpt.save(samples_seen, self.state, aux)
+
+    # ------------------------------------------------------------------ train
+
+    @property
+    def samples_seen(self) -> int:
+        return int(self.state.n_img)
+
+    def sigma_for_step(self) -> float:
+        if self.ada_state is not None:
+            return float(self.ada_state.std)
+        if self.blur_controller is not None:
+            return self.blur_controller.sigma(int(self.state.n_batches))
+        return getattr(self.hparams, "initial_blur_std", 0.0)
+
+    def fit(self, total_examples: int, max_steps: Optional[int] = None) -> TrainState:
+        """Train until ``total_examples`` images seen (across restarts) or
+        ``max_steps`` steps this invocation, or the adaptive controller stops."""
+        from blurred_gan_tpu.data.pipeline import DataPipeline
+
+        # Resume the deterministic data stream at the exact batch position
+        # (epoch = examples // dataset size, batch offset within the epoch).
+        bs = self.hparams.global_batch_size
+        steps_per_epoch = max(self.dataset.num_examples // bs, 1)
+        start_epoch = int(self.state.n_batches) // steps_per_epoch
+        start_batch = int(self.state.n_batches) % steps_per_epoch
+        pipe = DataPipeline(self.dataset, bs, seed=self.cfg.seed,
+                            start_epoch=start_epoch, start_batch=start_batch)
+        steps_done = 0
+        t_last, n_last = time.time(), self.samples_seen
+
+        def interrupt_save():
+            print("[trainer] interrupted - saving checkpoint")
+            self.ckpt.save(self.samples_seen, self.state, self._aux_dict())
+            self.ckpt.wait_until_finished()
+
+        with save_on_interrupt(interrupt_save):
+            for batch in pipe:
+                if self.samples_seen >= total_examples or self._stop:
+                    break
+                if max_steps is not None and steps_done >= max_steps:
+                    break
+                sigma = self._current_sigma = self.sigma_for_step()
+                # Step key is a pure function of the batch counter so a resumed
+                # run replays the identical RNG stream (bit-exact resume).
+                k = jax.random.fold_in(self._train_rng,
+                                       int(self.state.n_batches))
+                self.state, metrics, fakes = self.step_fn(
+                    self.state, jnp.asarray(batch), jnp.float32(sigma), k)
+                steps_done += 1
+
+                logs = {name: float(v) for name, v in metrics.items()}
+                bs = batch.shape[0]
+
+                if self.adaptive_controller is not None:
+                    self.ada_state, tele = self.adaptive_controller.update(
+                        self.ada_state, int(self.state.n_batches),
+                        logs["fake_scores"], logs["real_scores"])
+                    logs.update(tele)
+                    if self.ada_state.stop_training:
+                        print("[trainer] adaptive controller reached min std - "
+                              "stopping")
+                        self._stop = True
+
+                if time.time() - t_last > 5.0:
+                    now, n_now = time.time(), self.samples_seen
+                    logs["images_per_sec"] = (n_now - n_last) / (now - t_last)
+                    t_last, n_last = now, n_now
+
+                self.hooks.after_step(bs, logs)
+                reals_f = None
+                for feeder in self.metric_feeders:
+                    if feeder.recording:
+                        if reals_f is None:
+                            reals_f = jnp.asarray(batch)
+                            if reals_f.dtype == jnp.uint8:
+                                reals_f = (reals_f.astype(jnp.float32)
+                                           - 127.5) / 127.5
+                        out = feeder.feed(reals_f, fakes)
+                        if out:
+                            self.logger.scalars(self.samples_seen, out)
+                            pretty = {k2: round(v, 4) for k2, v in out.items()}
+                            print(f"[metrics @ {self.samples_seen}] {pretty}")
+                self._last_metrics = logs
+        pipe.close()
+        self.ckpt.save(self.samples_seen, self.state, self._aux_dict())
+        self.ckpt.wait_until_finished()
+        self.logger.flush()
+        return self.state
+
+    def _aux_dict(self) -> Dict:
+        aux = {}
+        if self.ada_state is not None:
+            aux["adaptive_blur"] = AdaptiveBlurController.state_to_dict(
+                self.ada_state)
+        return aux
+
+    def close(self) -> None:
+        self.ckpt.close()
+        self.logger.close()
+
+    _current_sigma: float = 0.0

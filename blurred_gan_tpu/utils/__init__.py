@@ -1,4 +1,5 @@
 from blurred_gan_tpu.utils.config import JsonSerializable, ParseableFromCommandLine
+from blurred_gan_tpu.utils.logging import MetricsLogger
 from blurred_gan_tpu.utils.rundir import create_result_subdir, locate_latest_checkpoint_dir
 from blurred_gan_tpu.utils.images import (
     normalize_images,
@@ -11,6 +12,7 @@ from blurred_gan_tpu.utils.images import (
 __all__ = [
     "JsonSerializable",
     "ParseableFromCommandLine",
+    "MetricsLogger",
     "create_result_subdir",
     "locate_latest_checkpoint_dir",
     "normalize_images",

@@ -1,0 +1,102 @@
+"""Train a blurred WGAN-GP on CelebA at 64² or 128² (reference: demo_celeba.py).
+
+Capability parity with /root/reference/demo_celeba.py: the six-stage DCGAN pair at
+128² (smaller pairs at lower resolutions), σ₀ high enough to wash out full detail
+(the CelebA demo hard-codes max_value=5, demo_celeba.py:226), SWD/FID cadence,
+checkpoints, resume. Data comes from a local aligned-CelebA directory
+(``$DATASETS_DIR/celeba/img_align_celeba``) or a synthetic surrogate.
+
+    python train_celeba.py --resolution 128 --epochs 10
+    python train_celeba.py --resolution 64 --max_steps 50 --log_dir /tmp/run
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from blurred_gan_tpu.data import load_celeba
+from blurred_gan_tpu.metrics import FIDMetric, SWDMetric
+from blurred_gan_tpu.models import celeba_discriminator, celeba_generator
+from blurred_gan_tpu.sched.blur import AdaptiveBlurController, BlurDecayController
+from blurred_gan_tpu.train import (
+    BlurredWGANGPHyperParameters,
+    GAN,
+    MetricFeeder,
+    Trainer,
+    TrainerConfig,
+    TrainingConfig,
+)
+from train_mnist import make_mesh
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    BlurredWGANGPHyperParameters.add_arguments(parser)
+    TrainingConfig.add_arguments(parser)
+    parser.add_argument("--resolution", type=int, default=128,
+                        choices=[8, 16, 32, 64, 128, 256])
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--adaptive", action="store_true")
+    parser.add_argument("--celeba_path", type=str, default=None)
+    parser.add_argument("--max_blur_std", type=float, default=5.0,
+                        help="sigma_0 (demo_celeba.py:226 uses 5)")
+    parser.add_argument("--num_examples", type=int, default=None)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 activations (MXU-native)")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    hparams = BlurredWGANGPHyperParameters.from_args(args)
+    config = TrainingConfig.from_args(args)
+    n_dev = max(len(jax.devices()), 1)
+    hparams.global_batch_size = hparams.batch_size * n_dev
+
+    dataset = load_celeba(path=args.celeba_path, resolution=args.resolution,
+                          num_examples=args.num_examples)
+    total_examples = dataset.num_examples * args.epochs
+
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    gan = GAN(celeba_generator(args.resolution, compute_dtype=dtype),
+              celeba_discriminator(args.resolution, compute_dtype=dtype),
+              blurred=True)
+
+    blur_ctrl = adaptive = None
+    if args.adaptive:
+        adaptive = AdaptiveBlurController(max_value=args.max_blur_std)
+    else:
+        blur_ctrl = BlurDecayController(
+            total_n_training_examples=total_examples,
+            max_value=args.max_blur_std)
+
+    feeders = [
+        MetricFeeder(SWDMetric(), every_n_examples=50_000, num_samples=1000,
+                     name="swd"),
+        MetricFeeder(FIDMetric(), every_n_examples=50_000, num_samples=100,
+                     name="fid"),
+    ]
+
+    trainer = Trainer(
+        gan, hparams, dataset,
+        trainer_config=TrainerConfig(
+            log_dir=config.log_dir,
+            checkpoint_dir=config.checkpoint_dir,
+            seed=args.seed),
+        mesh=make_mesh(),
+        blur_controller=blur_ctrl,
+        adaptive_controller=adaptive,
+        metric_feeders=feeders,
+        config_sidecars={"hparams": hparams, "config": config},
+    )
+    print(f"[train_celeba] res={args.resolution} devices={n_dev} "
+          f"global_bs={hparams.global_batch_size} dataset={dataset.name}")
+    trainer.fit(total_examples=total_examples, max_steps=args.max_steps)
+    trainer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Train a blurred WGAN-GP on MNIST 28×28 — the framework's first demo.
+
+Capability parity with /root/reference/demo_mnist.py: dataclass-driven CLI, blurred
+WGAN-GP with the DCGAN pair, open-loop exponential σ decay (or the adaptive
+controller with ``--adaptive``), SWD/FID eval every 50k examples, sample grids every
+5k, checkpoints every 10k + on Ctrl-C, auto-resume from the latest checkpoint.
+
+Run examples:
+    python train_mnist.py --epochs 10
+    python train_mnist.py --max_steps 50 --log_dir /tmp/mnist_run   # smoke test
+    python train_mnist.py --adaptive                                 # closed loop
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from blurred_gan_tpu.data import load_mnist
+from blurred_gan_tpu.metrics import FIDMetric, SWDMetric
+from blurred_gan_tpu.models import mnist_discriminator, mnist_generator
+from blurred_gan_tpu.sched.blur import AdaptiveBlurController, BlurDecayController
+from blurred_gan_tpu.train import (
+    BlurredWGANGPHyperParameters,
+    GAN,
+    MetricFeeder,
+    Trainer,
+    TrainerConfig,
+    TrainingConfig,
+)
+
+
+def make_mesh():
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    from jax.sharding import Mesh
+    import numpy as np
+
+    return Mesh(np.array(devices), ("data",))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    BlurredWGANGPHyperParameters.add_arguments(parser)
+    TrainingConfig.add_arguments(parser)
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="cap steps this invocation (smoke tests)")
+    parser.add_argument("--adaptive", action="store_true",
+                        help="use the closed-loop adaptive blur controller")
+    parser.add_argument("--mnist_path", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    hparams = BlurredWGANGPHyperParameters.from_args(args)
+    config = TrainingConfig.from_args(args)
+    # Data parallelism: global batch = per-replica batch × replica count
+    # (demo_mnist.py:119-124 contract).
+    n_dev = max(len(jax.devices()), 1)
+    hparams.global_batch_size = hparams.batch_size * n_dev
+
+    dataset = load_mnist(path=args.mnist_path)
+    total_examples = dataset.num_examples * args.epochs
+
+    gan = GAN(mnist_generator(), mnist_discriminator(), blurred=True)
+    blur_ctrl = adaptive = None
+    if args.adaptive:
+        adaptive = AdaptiveBlurController(max_value=hparams.initial_blur_std
+                                          if hparams.initial_blur_std > 1
+                                          else 23.5)
+    else:
+        # max_value from initial_blur_std, as demo_mnist.py:199 wires it.
+        blur_ctrl = BlurDecayController(
+            total_n_training_examples=total_examples,
+            max_value=hparams.initial_blur_std)
+
+    feeders = [
+        MetricFeeder(SWDMetric(), every_n_examples=50_000, num_samples=1000,
+                     name="swd"),
+        MetricFeeder(FIDMetric(), every_n_examples=50_000, num_samples=100,
+                     name="fid"),
+    ]
+
+    trainer = Trainer(
+        gan, hparams, dataset,
+        trainer_config=TrainerConfig(
+            log_dir=config.log_dir,
+            checkpoint_dir=config.checkpoint_dir,
+            seed=args.seed),
+        mesh=make_mesh(),
+        blur_controller=blur_ctrl,
+        adaptive_controller=adaptive,
+        metric_feeders=feeders,
+        config_sidecars={"hparams": hparams, "config": config},
+    )
+    print(f"[train_mnist] devices={n_dev} global_bs={hparams.global_batch_size} "
+          f"dataset={dataset.name} total_examples={total_examples}")
+    trainer.fit(total_examples=total_examples, max_steps=args.max_steps)
+    trainer.close()
+
+
+if __name__ == "__main__":
+    main()
