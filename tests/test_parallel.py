@@ -1,0 +1,119 @@
+"""Distributed-without-a-cluster tests (SURVEY.md §4.3) on the 8-device CPU mesh.
+
+Contracts verified:
+- the sum(...)/global_batch_size loss scaling (wgan.py:130,157) means the sharded
+  step computes exactly the single-device global gradient — so a train step on an
+  8-device mesh must produce bit-comparable state to the same step on one device;
+- metrics are replicated scalars; fakes come back batch-sharded;
+- the driver's dryrun_multichip contract holds.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from blurred_gan_tpu.models import DCGANDiscriminator, DCGANGenerator
+from blurred_gan_tpu.train import (
+    BlurredWGANGPHyperParameters,
+    GAN,
+    create_train_state,
+    make_train_step,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def micro_gan(channels=1):
+    g = DCGANGenerator(latent_size=16, init_hw=(4, 4), init_features=32,
+                       blocks=((32, 2), (16, 2)), out_channels=channels,
+                       final_transpose=False, final_stride=1)
+    d = DCGANDiscriminator(channels=(16, 32))
+    return GAN(g, d, latent_size=16, blurred=True)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("data",))
+
+
+class TestShardedStepMatchesSingleDevice:
+    def test_one_step_equivalence(self, mesh):
+        hp = BlurredWGANGPHyperParameters(batch_size=2, global_batch_size=16)
+        gan = micro_gan()
+        state = create_train_state(gan, hp, jax.random.PRNGKey(0), (16, 16, 1))
+        reals = jax.random.uniform(jax.random.PRNGKey(1), (16, 16, 16, 1),
+                                   jnp.float32, -1.0, 1.0)
+        k = jax.random.PRNGKey(2)
+
+        step_1 = make_train_step(gan, hp, mesh=None, donate_state=False)
+        step_8 = make_train_step(gan, hp, mesh=mesh, donate_state=False)
+
+        s1, m1, f1 = step_1(state, reals, jnp.float32(1.0), k)
+        s8, m8, f8 = step_8(state, reals, jnp.float32(1.0), k)
+
+        # Metrics agree to float tolerance (reduction order may differ).
+        for key in ("disc_loss", "gp_term", "fake_scores", "real_scores"):
+            assert float(m1[key]) == pytest.approx(float(m8[key]),
+                                                   rel=2e-4, abs=2e-5), key
+        # Updated parameters agree.
+        l1 = jax.tree_util.tree_leaves(s1.d_params)
+        l8 = jax.tree_util.tree_leaves(s8.d_params)
+        for a, b in zip(l1, l8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+        # Fakes identical (same latents, generator in eval mode).
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f8),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_multi_step_stays_in_sync(self, mesh):
+        hp = BlurredWGANGPHyperParameters(batch_size=2, global_batch_size=16)
+        gan = micro_gan()
+        state1 = create_train_state(gan, hp, jax.random.PRNGKey(0),
+                                    (16, 16, 1))
+        state8 = state1
+        step_1 = make_train_step(gan, hp, mesh=None, donate_state=False)
+        step_8 = make_train_step(gan, hp, mesh=mesh, donate_state=False)
+        rng = jax.random.PRNGKey(3)
+        for i in range(3):
+            reals = jax.random.uniform(jax.random.fold_in(rng, 100 + i),
+                                       (16, 16, 16, 1), jnp.float32, -1, 1)
+            k = jax.random.fold_in(rng, i)
+            state1, m1, _ = step_1(state1, reals, jnp.float32(0.8), k)
+            state8, m8, _ = step_8(state8, reals, jnp.float32(0.8), k)
+        assert float(m1["disc_loss"]) == pytest.approx(
+            float(m8["disc_loss"]), rel=1e-3, abs=1e-4)
+        assert int(state8.n_batches) == 3
+
+    def test_output_shardings(self, mesh):
+        hp = BlurredWGANGPHyperParameters(batch_size=2, global_batch_size=16)
+        gan = micro_gan()
+        state = create_train_state(gan, hp, jax.random.PRNGKey(0), (16, 16, 1))
+        step_8 = make_train_step(gan, hp, mesh=mesh, donate_state=False)
+        reals = jnp.zeros((16, 16, 16, 1), jnp.float32)
+        s8, m8, f8 = step_8(state, reals, jnp.float32(1.0),
+                            jax.random.PRNGKey(1))
+        # fakes sharded over data axis; state replicated.
+        assert f8.sharding.spec == P("data")
+        d_leaf = jax.tree_util.tree_leaves(s8.d_params)[0]
+        assert d_leaf.sharding.is_fully_replicated
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+
+    def test_entry_signature(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        assert callable(fn) and isinstance(args, tuple)
+        # jittable and traceable (abstract eval only — no full CelebA-128
+        # compile on CPU).
+        jax.eval_shape(fn, *args)
