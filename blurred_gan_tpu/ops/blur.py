@@ -161,14 +161,24 @@ def blur_matrix(scale, dim: int, resolution: int | None = None, dtype=jnp.float3
 # ---------------------------------------------------------------------------
 
 
-def blur_images(images, scale, *, precision=jax.lax.Precision.HIGHEST):
+def blur_images(images, scale, *, precision=jax.lax.Precision.HIGHEST,
+                impl: str = "auto"):
     """Gaussian-blur a batch of NHWC images with a traced sigma ``scale``.
 
     The TPU-native path: two banded matmuls per plane (MXU), static shapes, no
     recompilation as the schedule moves sigma. Capability-equivalent to
     /root/reference/gaussian_blur.py:50-80 (``blur_images``) including the sizing
     policy and zero-pad SAME borders.
+
+    ``impl``: "einsum" (XLA matmuls), "pallas" (fused single-kernel path,
+    ops/blur_pallas.py), or "auto" (pallas on TPU, einsum elsewhere).
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "einsum"
+    if impl == "pallas":
+        from blurred_gan_tpu.ops.blur_pallas import blur_images_pallas
+
+        return blur_images_pallas(images, scale)
     n, h, w, c = images.shape
     resolution = max(h, w)
     t_h = blur_matrix(scale, h, resolution)
