@@ -204,6 +204,17 @@ class ImageFolderDataset:
         img = img.resize((self.resolution, self.resolution), Image.BILINEAR)
         return np.asarray(img, np.uint8)
 
+    def _decode_batch(self, paths) -> np.ndarray:
+        """Native C++ multithreaded decode (blurred_gan_tpu/native) with a PIL
+        fallback. The native path decodes/crops/resizes the whole batch in
+        parallel — the difference between starving the TPU (~250 ms/batch in
+        PIL) and keeping up with a ~10 ms train step."""
+        from blurred_gan_tpu import native
+
+        if native.available():
+            return native.decode_batch(paths, self.resolution)
+        return np.stack([self._decode(p) for p in paths])
+
     def batches(self, batch_size: int, *, seed: int = 0, start_epoch: int = 0,
                 start_batch: int = 0,
                 drop_remainder: bool = True) -> Iterator[np.ndarray]:
@@ -215,7 +226,7 @@ class ImageFolderDataset:
             end = n - (n % batch_size) if drop_remainder else n
             for i in range(first, end, batch_size):
                 idx = order[i:i + batch_size]
-                yield np.stack([self._decode(self.files[j]) for j in idx])
+                yield self._decode_batch([self.files[j] for j in idx])
             epoch += 1
             first = 0
 
