@@ -1,3 +1,4 @@
+from blurred_gan_tpu.models.layers import GaussianBlur
 from blurred_gan_tpu.models.dcgan import (
     DCGANGenerator,
     DCGANDiscriminator,
@@ -8,6 +9,7 @@ from blurred_gan_tpu.models.dcgan import (
 )
 
 __all__ = [
+    "GaussianBlur",
     "DCGANGenerator",
     "DCGANDiscriminator",
     "mnist_generator",

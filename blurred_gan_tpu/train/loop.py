@@ -99,6 +99,10 @@ class TrainerConfig:
     log_metrics_every_n_examples: int = 100
     sample_grid_every_n_examples: int = 5_000
     checkpoint_every_n_examples: int = 10_000
+    # Training-batch image summaries every N *batches* (reals, fakes, and the
+    # blurred view the critic sees) — wgan.py:25,209-223 + gaussian_blur.py:145
+    # capability. 0 disables.
+    image_summaries_interval_batches: int = 50
     show_blurred_samples: bool = True
     save_sample_pngs: bool = True
     log_dir: str = "results/log"
@@ -206,6 +210,25 @@ class Trainer:
             Image.fromarray(grid).save(os.path.join(
                 self.cfg.log_dir, f"samples_grid_{samples_seen:08d}.png"))
 
+    def _image_summaries(self, reals, fakes, sigma) -> None:
+        """Rate-limited reals/fakes + blur-before/after image summaries
+        (wgan.py:209-223, gaussian_blur.py:145-148 capability)."""
+        n = min(16, fakes.shape[0])
+        step = self.samples_seen
+        reals = np.asarray(reals[:n], np.float32)
+        if reals.max() > 1.5:  # uint8 batch
+            reals = (reals - 127.5) / 127.5
+        fakes_np = np.asarray(fakes[:n])
+        blurred = np.asarray(blur_images(jnp.asarray(fakes[:n]),
+                                         jnp.float32(sigma)))
+        grid = (4, (n + 3) // 4)
+        self.logger.image(step, "train/reals",
+                          samples_grid(normalize_images(reals), grid))
+        self.logger.image(step, "train/fakes",
+                          samples_grid(normalize_images(fakes_np), grid))
+        self.logger.image(step, "train/fakes_blurred",
+                          samples_grid(normalize_images(blurred), grid))
+
     def _checkpoint(self, samples_seen: int, logs: Dict) -> None:
         aux = {}
         if self.ada_state is not None:
@@ -279,6 +302,10 @@ class Trainer:
                     now, n_now = time.time(), self.samples_seen
                     logs["images_per_sec"] = (n_now - n_last) / (now - t_last)
                     t_last, n_last = now, n_now
+
+                interval = self.cfg.image_summaries_interval_batches
+                if interval and int(self.state.n_batches) % interval == 0:
+                    self._image_summaries(batch, fakes, sigma)
 
                 self.hooks.after_step(bs, logs)
                 reals_f = None

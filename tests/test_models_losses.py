@@ -1,0 +1,167 @@
+"""Tests for the model zoo, the standalone blur layer, losses (incl. plain
+WGAN), and the config/CLI system.
+"""
+
+import argparse
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from blurred_gan_tpu.losses.wgan import (
+    gradient_penalty,
+    wgan_discriminator_loss,
+    wgan_generator_loss,
+)
+from blurred_gan_tpu.models import (
+    DCGANDiscriminator,
+    DCGANGenerator,
+    GaussianBlur,
+    celeba_discriminator,
+    celeba_generator,
+    mnist_discriminator,
+    mnist_generator,
+)
+from blurred_gan_tpu.ops.blur import blur_images
+from blurred_gan_tpu.train import (
+    GAN,
+    WGANHyperParameters,
+    BlurredWGANGPHyperParameters,
+    TrainingConfig,
+    create_train_state,
+    make_train_step,
+)
+
+
+class TestModelZoo:
+    def test_mnist_shapes(self):
+        g, d = mnist_generator(), mnist_discriminator()
+        z = jnp.zeros((2, 100))
+        gv = g.init(jax.random.PRNGKey(0), z, train=False)
+        x = g.apply(gv, z, train=False)
+        assert x.shape == (2, 28, 28, 1)
+        dv = d.init(jax.random.PRNGKey(1), x, train=False)
+        s = d.apply(dv, x, train=False)
+        assert s.shape == (2, 1)
+
+    @pytest.mark.parametrize("res", [8, 16, 64])
+    def test_celeba_shapes(self, res):
+        g, d = celeba_generator(res), celeba_discriminator(res)
+        z = jnp.zeros((1, 100))
+        gv = g.init(jax.random.PRNGKey(0), z, train=False)
+        x = g.apply(gv, z, train=False)
+        assert x.shape == (1, res, res, 3)
+        dv = d.init(jax.random.PRNGKey(1), x, train=False)
+        assert d.apply(dv, x, train=False).shape == (1, 1)
+
+    def test_celeba128_matches_reference_depth(self):
+        # demo_celeba.py:51-124: G has 7 conv stages (1+5 up + final),
+        # D has 6 stride-2 convs 16..512.
+        g = celeba_generator(128)
+        assert len(g.blocks) == 6 and g.blocks[0] == (512, 1)
+        d = celeba_discriminator(128)
+        assert tuple(d.channels) == (16, 32, 64, 128, 256, 512)
+
+    def test_output_range_tanh(self):
+        g = mnist_generator()
+        z = jax.random.uniform(jax.random.PRNGKey(2), (4, 100))
+        gv = g.init(jax.random.PRNGKey(0), z, train=False)
+        x = g.apply(gv, z, train=False)
+        assert float(jnp.max(jnp.abs(x))) <= 1.0
+
+
+class TestGaussianBlurLayer:
+    def test_explicit_sigma_matches_op(self):
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 16, 16, 1).astype(np.float32))
+        layer = GaussianBlur(initial_std=0.05, impl="einsum")
+        vars_ = layer.init(jax.random.PRNGKey(0), x)
+        y = layer.apply(vars_, x, sigma=2.0)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(blur_images(x, 2.0, impl="einsum")),
+            rtol=1e-5, atol=1e-6)
+
+    def test_variable_sigma_override(self):
+        x = jnp.ones((1, 16, 16, 1))
+        layer = GaussianBlur(initial_std=0.05, impl="einsum")
+        vars_ = layer.init(jax.random.PRNGKey(0), x)
+        assert float(vars_["blur"]["blur_std"]) == pytest.approx(0.05)
+        y = layer.apply({"blur": {"blur_std": jnp.float32(3.0)}}, x)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(blur_images(x, 3.0, impl="einsum")),
+            rtol=1e-5, atol=1e-6)
+
+
+class TestLosses:
+    def test_wgan_losses_scaling(self):
+        real = jnp.asarray([[1.0], [2.0]])
+        fake = jnp.asarray([[0.5], [0.5]])
+        # sum(fake - real)/global_bs with global_bs=4 (2 of 4 samples local).
+        assert float(wgan_discriminator_loss(real, fake, 4.0)) == \
+            pytest.approx((0.5 - 1 + 0.5 - 2) / 4)
+        assert float(wgan_generator_loss(fake, 4.0)) == pytest.approx(-1 / 4)
+
+    def test_gp_on_linear_critic_is_exact(self):
+        # For D(x) = <w, x>, ||grad D|| = ||w|| everywhere, so
+        # GP = (||w|| - 1)^2 exactly (SURVEY.md §4.1).
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.randn(16).astype(np.float32))
+        critic = lambda x: x.reshape(x.shape[0], -1) @ w
+        reals = jnp.asarray(rng.randn(8, 2, 2, 4).astype(np.float32))
+        fakes = jnp.asarray(rng.randn(8, 2, 2, 4).astype(np.float32))
+        gp = gradient_penalty(critic, reals, fakes, jax.random.PRNGKey(1))
+        want = (float(jnp.linalg.norm(w)) - 1.0) ** 2
+        assert float(gp) == pytest.approx(want, rel=1e-4)
+
+    def test_plain_wgan_step_no_gp(self):
+        # WGANHyperParameters has no gp_coefficient -> pure WGAN path
+        # (wgan.py:28-231 without the GP subclass).
+        hp = WGANHyperParameters(batch_size=4, global_batch_size=4)
+        g = DCGANGenerator(latent_size=8, init_hw=(4, 4), init_features=16,
+                           blocks=((16, 2),), out_channels=1,
+                           final_transpose=False, final_stride=1)
+        d = DCGANDiscriminator(channels=(8,))
+        gan = GAN(g, d, latent_size=8, blurred=True)
+        state = create_train_state(gan, hp, jax.random.PRNGKey(0), (8, 8, 1))
+        step = make_train_step(gan, hp, donate_state=False)
+        x = jnp.zeros((4, 8, 8, 1))
+        state, m, _ = step(state, x, jnp.float32(0.5), jax.random.PRNGKey(1))
+        assert float(m["gp_term"]) == 0.0
+        assert np.isfinite(float(m["disc_loss"]))
+
+
+class TestConfigCLI:
+    def test_inherited_flags(self):
+        parser = argparse.ArgumentParser()
+        BlurredWGANGPHyperParameters.add_arguments(parser)
+        TrainingConfig.add_arguments(parser)
+        args = parser.parse_args([
+            "--learning_rate", "0.0002", "--gp_coefficient", "5",
+            "--initial_blur_std", "7.5", "--log_dir", "/tmp/x"])
+        hp = BlurredWGANGPHyperParameters.from_args(args)
+        cfg = TrainingConfig.from_args(args)
+        assert hp.learning_rate == 2e-4
+        assert hp.gp_coefficient == 5.0
+        assert hp.initial_blur_std == 7.5
+        assert hp.d_steps_per_g_step == 1  # default preserved
+        assert cfg.log_dir == "/tmp/x"
+
+    def test_json_roundtrip(self, tmp_path):
+        hp = BlurredWGANGPHyperParameters(learning_rate=3e-4)
+        p = tmp_path / "hp.json"
+        hp.save_json(str(p))
+        hp2 = BlurredWGANGPHyperParameters.from_json(str(p))
+        assert hp2 == hp
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        from blurred_gan_tpu.utils.profiling import StepTimer
+
+        t = StepTimer()
+        t.tick(32)
+        t.tick(32)
+        r = t.rate()
+        assert r is not None and r > 0
+        assert t.rate() is None  # nothing since last reading

@@ -47,10 +47,17 @@ def main():
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations (MXU-native)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--run_name", type=str, default=None,
+                        help="create an auto-numbered results/NN-<name> run dir")
     args = parser.parse_args()
 
     hparams = BlurredWGANGPHyperParameters.from_args(args)
     config = TrainingConfig.from_args(args)
+    if args.run_name:
+        from blurred_gan_tpu.utils import create_result_subdir
+
+        config.log_dir = create_result_subdir("results", args.run_name)
+        config.checkpoint_dir = ""
     n_dev = max(len(jax.devices()), 1)
     hparams.global_batch_size = hparams.batch_size * n_dev
 

@@ -53,10 +53,19 @@ def main():
                         help="use the closed-loop adaptive blur controller")
     parser.add_argument("--mnist_path", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--run_name", type=str, default=None,
+                        help="create an auto-numbered results/NN-<name> run dir"
+                             " (utils.py:14-24 capability); overrides"
+                             " --log_dir")
     args = parser.parse_args()
 
     hparams = BlurredWGANGPHyperParameters.from_args(args)
     config = TrainingConfig.from_args(args)
+    if args.run_name:
+        from blurred_gan_tpu.utils import create_result_subdir
+
+        config.log_dir = create_result_subdir("results", args.run_name)
+        config.checkpoint_dir = ""
     # Data parallelism: global batch = per-replica batch × replica count
     # (demo_mnist.py:119-124 contract).
     n_dev = max(len(jax.devices()), 1)
