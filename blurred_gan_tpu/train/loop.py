@@ -143,8 +143,12 @@ class Trainer:
         self._init_rng, self._train_rng, grid_rng = jax.random.split(rng, 3)
         self.state: TrainState = create_train_state(
             gan, hparams, self._init_rng, image_shape)
+        # Donate the input state: XLA reuses its buffers for the updated state
+        # instead of allocating a second copy of every parameter/opt slot each
+        # step. The loop immediately rebinds self.state to the step's output,
+        # so the donated (invalidated) buffers are never touched again.
         self.step_fn = make_train_step(gan, hparams, mesh=mesh,
-                                       donate_state=False)
+                                       donate_state=True)
         self.sample_fn = make_sample_fn(gan, mesh=mesh)
         # Fixed latents for the sample grid — constant across the run
         # (callbacks.py:217-224).

@@ -117,3 +117,37 @@ class TestGraftEntry:
         # jittable and traceable (abstract eval only — no full CelebA-128
         # compile on CPU).
         jax.eval_shape(fn, *args)
+
+
+class TestTrainerWithMesh:
+    def test_fit_and_resume_under_mesh(self, mesh, tmp_path):
+        from blurred_gan_tpu.data import synthetic_dataset
+        from blurred_gan_tpu.sched.blur import BlurDecayController
+        from blurred_gan_tpu.train import Trainer, TrainerConfig
+
+        hp = BlurredWGANGPHyperParameters(batch_size=2, global_batch_size=16)
+        ds = synthetic_dataset((16, 16, 1), num_examples=64)
+
+        def mk():
+            return Trainer(
+                micro_gan(), hp, ds,
+                trainer_config=TrainerConfig(
+                    log_dir=str(tmp_path / "mesh_run"),
+                    checkpoint_every_n_examples=100_000,
+                    sample_grid_every_n_examples=100_000,
+                    image_summaries_interval_batches=0,
+                    save_sample_pngs=False, seed=0),
+                mesh=mesh,
+                blur_controller=BlurDecayController(640, max_value=1.0))
+
+        tr = mk()
+        state = tr.fit(total_examples=10_000, max_steps=4)
+        assert int(state.n_batches) == 4
+        assert np.isfinite(tr._last_metrics["disc_loss"])
+        tr.close()
+
+        tr2 = mk()  # auto-restores the end-of-fit checkpoint
+        assert int(tr2.state.n_batches) == 4
+        state2 = tr2.fit(total_examples=10_000, max_steps=2)
+        assert int(state2.n_batches) == 6
+        tr2.close()
