@@ -306,6 +306,11 @@ class Trainer:
                     now, n_now = time.time(), self.samples_seen
                     logs["images_per_sec"] = (n_now - n_last) / (now - t_last)
                     t_last, n_last = now, n_now
+                    print(f"[trainer] {n_now} examples "
+                          f"({int(self.state.n_batches)} batches) "
+                          f"d_loss={logs['disc_loss']:+.4f} "
+                          f"std={logs['std']:.4f} "
+                          f"{logs['images_per_sec']:.1f} img/s", flush=True)
 
                 interval = self.cfg.image_summaries_interval_batches
                 if interval and int(self.state.n_batches) % interval == 0:
@@ -331,6 +336,20 @@ class Trainer:
         self.ckpt.wait_until_finished()
         self.logger.flush()
         return self.state
+
+    def export_weights(self, directory: str) -> None:
+        """Save generator / discriminator weights as separate artifacts
+        (the reference's split ``save_weights`` per sub-model, wgan.py:229-231)
+        — flax msgpack files loadable without the full train state."""
+        import flax.serialization as fser
+
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "generator.msgpack"), "wb") as f:
+            f.write(fser.to_bytes({"params": self.state.g_params,
+                                   "batch_stats": self.state.g_stats}))
+        with open(os.path.join(directory, "discriminator.msgpack"),
+                  "wb") as f:
+            f.write(fser.to_bytes({"params": self.state.d_params}))
 
     def _aux_dict(self) -> Dict:
         aux = {}

@@ -47,8 +47,15 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
     use_gp = gp_coefficient is not None
 
     def disc_loss_fn(d_params, reals, fakes, sigma, drop_f, drop_r, gp_rng):
-        fake_scores = gan.critic(d_params, fakes, sigma, train=True, rng=drop_f)
-        real_scores = gan.critic(d_params, reals, sigma, train=True, rng=drop_r)
+        # One doubled-batch critic application instead of two: fewer kernel
+        # sequences and better MXU utilisation. Valid because D has no
+        # cross-sample ops (conv + leaky-relu + dropout only — dropout masks
+        # are per-element, so per-sample scores are identical to two calls up
+        # to the RNG stream). The reference's two separate calls are
+        # wgan.py:136-137.
+        scores = gan.critic(d_params, jnp.concatenate([fakes, reals], axis=0),
+                            sigma, train=True, rng=drop_f)
+        fake_scores, real_scores = jnp.split(scores, 2, axis=0)
         if use_gp:
             critic_eval = lambda x: gan.critic(d_params, x, sigma, train=False)
             loss, aux = wgangp_discriminator_loss(

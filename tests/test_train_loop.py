@@ -159,3 +159,20 @@ class TestSampleGridAndFeeders:
         events = open(os.path.join(tr.cfg.log_dir, "events.jsonl")).read()
         tr.close()
         assert "swd/SWDx1e3_16" in events
+
+
+class TestExportWeights:
+    def test_msgpack_roundtrip(self, trained, tmp_path):
+        import flax.serialization as fser
+        import jax
+
+        tr, state, _ = trained
+        d = tmp_path / "weights"
+        tr.export_weights(str(d))
+        with open(d / "generator.msgpack", "rb") as f:
+            g = fser.from_bytes({"params": state.g_params,
+                                 "batch_stats": state.g_stats}, f.read())
+        for a, b in zip(jax.tree_util.tree_leaves(g["params"]),
+                        jax.tree_util.tree_leaves(state.g_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert (d / "discriminator.msgpack").exists()
