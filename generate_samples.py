@@ -1,0 +1,72 @@
+"""Generate a sample grid from a trained checkpoint (inference entry point).
+
+The reference demos sample the generator after training
+(/root/reference/demo_mnist.py:210-218); this is the standalone equivalent:
+restore the latest checkpoint from a run directory and write an 8×8 grid PNG.
+
+    python generate_samples.py --log_dir results/01-mnist --dataset mnist
+    python generate_samples.py --log_dir results/02-celeba --dataset celeba \
+        --resolution 128 --out samples.png --blur_std 0.5
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--log_dir", required=True)
+    p.add_argument("--dataset", choices=["mnist", "celeba"], default="mnist")
+    p.add_argument("--resolution", type=int, default=128)
+    p.add_argument("--out", default=None, help="output PNG path")
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--blur_std", type=float, default=None,
+                   help="also blur the samples (view as the critic would)")
+    args = p.parse_args()
+
+    from blurred_gan_tpu.models import (celeba_discriminator, celeba_generator,
+                                        mnist_discriminator, mnist_generator)
+    from blurred_gan_tpu.ops.blur import blur_images
+    from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
+                                       CheckpointManager, create_train_state,
+                                       make_sample_fn)
+    from blurred_gan_tpu.utils import normalize_images, save_image_grid
+
+    if args.dataset == "mnist":
+        gan = GAN(mnist_generator(), mnist_discriminator(), blurred=True)
+        shape = (28, 28, 1)
+    else:
+        gan = GAN(celeba_generator(args.resolution),
+                  celeba_discriminator(args.resolution), blurred=True)
+        shape = (args.resolution, args.resolution, 3)
+
+    hp = BlurredWGANGPHyperParameters()
+    template = create_train_state(gan, hp, jax.random.PRNGKey(0), shape)
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    restored = ckpt.restore_latest(template)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
+    state, _, step = restored
+    print(f"restored checkpoint @ {step} examples")
+
+    sample = make_sample_fn(gan)
+    z = gan.sample_latents(jax.random.PRNGKey(args.seed), args.n)
+    imgs = sample(state, z)
+    if args.blur_std is not None:
+        imgs = blur_images(imgs, jnp.float32(args.blur_std))
+    out = args.out or f"{args.log_dir}/generated_{step:08d}.png"
+    side = int(np.ceil(np.sqrt(args.n)))
+    save_image_grid(normalize_images(np.asarray(imgs)), out,
+                    grid=(side, side))
+    print(f"wrote {out}")
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    main()
