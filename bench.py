@@ -23,6 +23,10 @@ import os
 import time
 
 import jax
+
+from blurred_gan_tpu.runtime import enable_fast_prng
+
+enable_fast_prng()
 import jax.numpy as jnp
 
 # Measured via benchmarks/reference_baseline.py (2026-08-16, this container):

@@ -16,6 +16,10 @@ import argparse
 
 import jax
 
+from blurred_gan_tpu.runtime import enable_fast_prng
+
+enable_fast_prng()
+
 from blurred_gan_tpu.data import load_celeba
 from blurred_gan_tpu.metrics import FIDMetric, SWDMetric
 from blurred_gan_tpu.models import celeba_discriminator, celeba_generator

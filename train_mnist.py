@@ -18,6 +18,10 @@ import os
 
 import jax
 
+from blurred_gan_tpu.runtime import enable_fast_prng
+
+enable_fast_prng()
+
 from blurred_gan_tpu.data import load_mnist
 from blurred_gan_tpu.metrics import FIDMetric, SWDMetric
 from blurred_gan_tpu.models import mnist_discriminator, mnist_generator
