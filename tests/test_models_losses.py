@@ -165,3 +165,25 @@ class TestProfiling:
         r = t.rate()
         assert r is not None and r > 0
         assert t.rate() is None  # nothing since last reading
+
+
+class TestDStepsPerGStep:
+    def test_gen_update_every_other_batch(self):
+        # d_steps_per_g_step=2: gen fires on batches 0, 2, 4 (checked before
+        # the counter increments, wgan.py:105-106).
+        hp = BlurredWGANGPHyperParameters(batch_size=4, global_batch_size=4,
+                                          d_steps_per_g_step=2)
+        g = DCGANGenerator(latent_size=8, init_hw=(4, 4), init_features=16,
+                           blocks=((16, 2),), out_channels=1,
+                           final_transpose=False, final_stride=1)
+        d = DCGANDiscriminator(channels=(8,))
+        gan = GAN(g, d, latent_size=8, blurred=True)
+        state = create_train_state(gan, hp, jax.random.PRNGKey(0), (8, 8, 1))
+        step = make_train_step(gan, hp, donate_state=False)
+        x = jnp.zeros((4, 8, 8, 1))
+        fired = []
+        for i in range(4):
+            state, m, _ = step(state, x, jnp.float32(0.5),
+                               jax.random.PRNGKey(i))
+            fired.append(bool(m["did_gen_step"]))
+        assert fired == [True, False, True, False]
