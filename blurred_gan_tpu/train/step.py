@@ -33,12 +33,16 @@ from blurred_gan_tpu.train.state import GAN, TrainState, make_optimizer
 
 
 def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
-                    donate_state: bool = True):
+                    donate_state: bool = True, state_shardings=None):
     """Build ``step(state, reals, sigma, rng) -> (state, metrics, fakes)``.
 
     ``reals`` is the *global* batch (NHWC, float32 in [-1, 1] — or uint8, which is
     normalised on device to save 4x host->device bandwidth). ``sigma`` is the blur
     std for this step (traced scalar). ``rng`` is a fresh per-step key.
+
+    ``state_shardings``: optional NamedSharding pytree matching the TrainState
+    (see ``parallel.state_shardings``) for tensor-parallel parameter layouts;
+    default replicates all state (pure DP).
     """
     opt = make_optimizer(hparams.optimizer, hparams.learning_rate)
     global_bs = float(hparams.global_batch_size)
@@ -135,11 +139,13 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
 
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
-    # Shardings by position: state replicated, batch data-sharded, scalars replicated.
+    state_sh = replicated if state_shardings is None else state_shardings
+    # Shardings by position: state replicated (or TP-partitioned via
+    # state_shardings), batch data-sharded, scalars replicated.
     return jax.jit(
         step,
-        in_shardings=(replicated, batch_sharded, replicated, replicated),
-        out_shardings=(replicated, replicated, batch_sharded),
+        in_shardings=(state_sh, batch_sharded, replicated, replicated),
+        out_shardings=(state_sh, replicated, batch_sharded),
         donate_argnums=donate,
     )
 
