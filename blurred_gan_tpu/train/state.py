@@ -51,13 +51,18 @@ class GAN:
     def critic(self, d_params, images, sigma, *, train: bool, rng=None):
         """Blur (if configured) then score. ``train`` toggles dropout."""
         x = blur_images(images, sigma) if self.blurred else images
-        apply = self.discriminator.apply
+
+        def apply_fn(p, xx, r):
+            # `train` is closed over (static) so jax.checkpoint never traces
+            # it; only params/images/rng are rematerialization inputs.
+            if train:
+                return self.discriminator.apply({"params": p}, xx, train=True,
+                                                rngs={"dropout": r})
+            return self.discriminator.apply({"params": p}, xx, train=False)
+
         if self.remat_critic:
-            apply = jax.checkpoint(apply, static_argnums=())
-        if train:
-            return apply({"params": d_params}, x, train=True,
-                         rngs={"dropout": rng})
-        return apply({"params": d_params}, x, train=False)
+            apply_fn = jax.checkpoint(apply_fn)
+        return apply_fn(d_params, x, rng)
 
 
 class TrainState(flax.struct.PyTreeNode):

@@ -187,3 +187,57 @@ class TestDStepsPerGStep:
                                jax.random.PRNGKey(i))
             fired.append(bool(m["did_gen_step"]))
         assert fired == [True, False, True, False]
+
+
+class TestScaleUpStructure:
+    def test_celeba256_structure(self):
+        # 256 is the resolution-headroom target (SURVEY.md §5.7): 7 G stages
+        # from 4x4, D downsamples 256 -> 4 with the full channel ladder.
+        g = celeba_generator(256)
+        assert len(g.blocks) == 7
+        strides = [s for _, s in g.blocks]
+        assert strides == [1, 2, 2, 2, 2, 2, 2]
+        d = celeba_discriminator(256)
+        assert tuple(d.channels) == (16, 32, 64, 128, 256, 512)
+
+    def test_remat_critic_step_runs(self):
+        # remat_critic=True rematerializes D in the GP double-backward
+        # (memory headroom for 256+); the step must stay numerically sane.
+        hp = BlurredWGANGPHyperParameters(batch_size=4, global_batch_size=4)
+        g = DCGANGenerator(latent_size=8, init_hw=(4, 4), init_features=16,
+                           blocks=((16, 2),), out_channels=1,
+                           final_transpose=False, final_stride=1)
+        d = DCGANDiscriminator(channels=(8,))
+        gan_plain = GAN(g, d, latent_size=8, blurred=True)
+        gan_remat = GAN(g, d, latent_size=8, blurred=True, remat_critic=True)
+        state = create_train_state(gan_plain, hp, jax.random.PRNGKey(0),
+                                   (8, 8, 1))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 8, 1),
+                               jnp.float32, -1, 1)
+        k = jax.random.PRNGKey(2)
+        s1, m1, _ = make_train_step(gan_plain, hp, donate_state=False)(
+            state, x, jnp.float32(0.5), k)
+        s2, m2, _ = make_train_step(gan_remat, hp, donate_state=False)(
+            state, x, jnp.float32(0.5), k)
+        # remat must not change the math
+        assert float(m1["disc_loss"]) == pytest.approx(
+            float(m2["disc_loss"]), rel=1e-5)
+
+
+class TestSaveOnInterrupt:
+    def test_sigint_triggers_save_once(self):
+        import os
+        import signal
+
+        from blurred_gan_tpu.train.checkpoint import save_on_interrupt
+
+        calls = []
+        with pytest.raises(KeyboardInterrupt):
+            with save_on_interrupt(lambda: calls.append(1)):
+                os.kill(os.getpid(), signal.SIGINT)
+        assert calls == [1]
+        # handlers restored: a second SIGINT outside the context raises the
+        # default KeyboardInterrupt without calling save again.
+        with pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), signal.SIGINT)
+        assert calls == [1]
