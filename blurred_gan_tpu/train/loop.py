@@ -337,6 +337,45 @@ class Trainer:
         self.logger.flush()
         return self.state
 
+    def evaluate(self, num_samples: int = 1000, metrics=None,
+                 seed: int = 1234) -> Dict[str, float]:
+        """On-demand SWD/FID between dataset reals and fresh generator samples
+        (the capability of the reference's metric callbacks, callbacks.py:
+        138-206, decoupled from the training cadence).
+
+        ``metrics``: list of metric objects with the update_state/result
+        protocol; defaults to a fresh SWDMetric + FIDMetric pair.
+        """
+        from blurred_gan_tpu.metrics import FIDMetric, SWDMetric
+
+        if metrics is None:
+            metrics = [SWDMetric(), FIDMetric()]
+        bs = self.hparams.global_batch_size
+        rng = jax.random.PRNGKey(seed)
+        it = self.dataset.batches(bs, seed=seed)
+        done = 0
+        while done < num_samples:
+            take = min(bs, num_samples - done)
+            reals = jnp.asarray(next(it)[:take])
+            if reals.dtype == jnp.uint8:
+                reals = (reals.astype(jnp.float32) - 127.5) / 127.5
+            rng, k = jax.random.split(rng)
+            fakes = self.sample_fn(self.state,
+                                   self.gan.sample_latents(k, take))
+            for m in metrics:
+                m.update_state(reals, fakes)
+            done += take
+        out: Dict[str, float] = {}
+        for m in metrics:
+            if hasattr(m, "results"):
+                out.update({f"{m.name}/{k2}" if not k2.startswith("SWD")
+                            else k2: v for k2, v in m.results().items()})
+            else:
+                out[m.name] = float(m.result())
+            m.reset_states()
+        self.logger.scalars(self.samples_seen, out, prefix="eval_")
+        return out
+
     def export_weights(self, directory: str) -> None:
         """Save generator / discriminator weights as separate artifacts
         (the reference's split ``save_weights`` per sub-model, wgan.py:229-231)

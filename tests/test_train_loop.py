@@ -176,3 +176,14 @@ class TestExportWeights:
                         jax.tree_util.tree_leaves(state.g_params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert (d / "discriminator.msgpack").exists()
+
+
+class TestEvaluate:
+    def test_on_demand_eval(self, trained):
+        from blurred_gan_tpu.metrics import SWDMetric
+
+        tr, _, _ = trained
+        out = tr.evaluate(num_samples=16,
+                          metrics=[SWDMetric(nhoods_per_image=16)])
+        assert "SWDx1e3_16" in out and "SWDx1e3_avg" in out
+        assert np.isfinite(out["SWDx1e3_avg"])
