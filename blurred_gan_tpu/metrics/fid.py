@@ -148,6 +148,19 @@ def random_conv_features(image_shape, dim: int = 2048, seed: int = 0,
     return extract
 
 
+def inception_preprocess(images, size: int = 299):
+    """Resize an NHWC batch to the InceptionV3 input size (299², bilinear) and
+    tile grayscale to 3 channels — the reference demos' FID preprocessing
+    (demo_mnist.py:174-183 capability), for use as a ``MetricFeeder``
+    ``preprocess_fn`` with a real Inception extractor."""
+    n, h, w, c = images.shape
+    x = jax.image.resize(images.astype(jnp.float32), (n, size, size, c),
+                         method="bilinear")
+    if c == 1:
+        x = jnp.tile(x, (1, 1, 1, 3))
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Streaming metric (the reference's FIDMetric protocol)
 # ---------------------------------------------------------------------------

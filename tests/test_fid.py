@@ -89,3 +89,13 @@ class TestFIDMetric:
         y = rng.rand(32, 4, 4, 1).astype(np.float32) + 1.0
         m.update_state(jnp.asarray(x), jnp.asarray(y))
         assert m.result() > 10.0  # mean shift of 1 in 16 dims
+
+
+class TestInceptionPreprocess:
+    def test_resize_and_tile(self):
+        from blurred_gan_tpu.metrics.fid import inception_preprocess
+
+        x = jnp.ones((2, 28, 28, 1), jnp.float32)
+        y = inception_preprocess(x, size=75)
+        assert y.shape == (2, 75, 75, 3)
+        np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-5)
