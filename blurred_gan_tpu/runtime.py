@@ -2,7 +2,25 @@
 
 from __future__ import annotations
 
+import os
+
 import jax
+
+
+def maybe_initialize_distributed() -> int:
+    """Multi-host bring-up (SURVEY.md §5.8): call ``jax.distributed
+    .initialize()`` when a coordinator is configured, else no-op.
+
+    Same program, no code change — after this, ``jax.devices()`` spans the
+    slice and the data-parallel mesh in the demos covers every chip. Returns
+    the process count. Triggers on the standard coordinator env var
+    (``JAX_COORDINATOR_ADDRESS``, set by TPU pod launchers) or an explicit
+    ``BLURRED_GAN_MULTIHOST=1``.
+    """
+    if (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("BLURRED_GAN_MULTIHOST") == "1"):
+        jax.distributed.initialize()
+    return jax.process_count()
 
 
 def enable_fast_prng() -> None:

@@ -260,12 +260,24 @@ class Trainer:
 
         # Resume the deterministic data stream at the exact batch position
         # (epoch = examples // dataset size, batch offset within the epoch).
+        # Multi-host: each process pipelines its 1/process_count share of the
+        # global batch from a process-disjoint stream, assembled into one
+        # global array below (SURVEY.md §5.8).
+        n_proc = jax.process_count()
         bs = self.hparams.global_batch_size
-        steps_per_epoch = max(self.dataset.num_examples // bs, 1)
+        local_bs = bs // n_proc
+        seed = self.cfg.seed + jax.process_index() * 7919
+        steps_per_epoch = max(self.dataset.num_examples // local_bs, 1)
         start_epoch = int(self.state.n_batches) // steps_per_epoch
         start_batch = int(self.state.n_batches) % steps_per_epoch
-        pipe = DataPipeline(self.dataset, bs, seed=self.cfg.seed,
+        pipe = DataPipeline(self.dataset, local_bs, seed=seed,
                             start_epoch=start_epoch, start_batch=start_batch)
+        batch_sharding = None
+        if n_proc > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert self.mesh is not None, "multi-host training needs a mesh"
+            batch_sharding = NamedSharding(self.mesh, P("data"))
         steps_done = 0
         t_last, n_last = time.time(), self.samples_seen
 
@@ -285,12 +297,17 @@ class Trainer:
                 # run replays the identical RNG stream (bit-exact resume).
                 k = jax.random.fold_in(self._train_rng,
                                        int(self.state.n_batches))
+                if batch_sharding is not None:
+                    device_batch = jax.make_array_from_process_local_data(
+                        batch_sharding, np.ascontiguousarray(batch))
+                else:
+                    device_batch = jnp.asarray(batch)
                 self.state, metrics, fakes = self.step_fn(
-                    self.state, jnp.asarray(batch), jnp.float32(sigma), k)
+                    self.state, device_batch, jnp.float32(sigma), k)
                 steps_done += 1
 
                 logs = {name: float(v) for name, v in metrics.items()}
-                bs = batch.shape[0]
+                step_examples = device_batch.shape[0]  # global batch size
 
                 if self.adaptive_controller is not None:
                     self.ada_state, tele = self.adaptive_controller.update(
@@ -316,7 +333,7 @@ class Trainer:
                 if interval and int(self.state.n_batches) % interval == 0:
                     self._image_summaries(batch, fakes, sigma)
 
-                self.hooks.after_step(bs, logs)
+                self.hooks.after_step(step_examples, logs)
                 reals_f = None
                 for feeder in self.metric_feeders:
                     if feeder.recording:

@@ -16,9 +16,10 @@ import argparse
 
 import jax
 
-from blurred_gan_tpu.runtime import enable_fast_prng
+from blurred_gan_tpu.runtime import enable_fast_prng, maybe_initialize_distributed
 
 enable_fast_prng()
+maybe_initialize_distributed()
 
 from blurred_gan_tpu.data import load_celeba
 from blurred_gan_tpu.metrics import FIDMetric, SWDMetric
