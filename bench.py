@@ -22,6 +22,11 @@ import json
 import os
 import time
 
+# Persistent compilation cache: the scanned train step is a multi-minute
+# compile through the remote-compile tunnel; cache hits make re-runs fast.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 import jax
 
 from blurred_gan_tpu.runtime import enable_fast_prng
