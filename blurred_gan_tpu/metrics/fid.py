@@ -38,6 +38,15 @@ import scipy.linalg
 # ---------------------------------------------------------------------------
 
 
+def calculate_fid(features_x, features_y) -> float:
+    """One-shot FID between two (N, D) feature arrays — the reference's simple
+    entry point (metrics.py:17-28), built on the safe distance below."""
+    x = np.asarray(features_x, np.float64)
+    y = np.asarray(features_y, np.float64)
+    return frechet_distance(x.mean(0), np.cov(x, rowvar=False),
+                            y.mean(0), np.cov(y, rowvar=False))
+
+
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     """TTUR-safe Fréchet distance between two Gaussians (metrics.py:42-75)."""
     mu1 = np.atleast_1d(np.asarray(mu1, np.float64))

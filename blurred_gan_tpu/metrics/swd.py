@@ -114,6 +114,19 @@ def reconstruct_laplacian_pyramid(pyramid: Sequence[jnp.ndarray]):
     return x
 
 
+def downscale_minibatch(images, lod: int):
+    """Average-pool 2× per level-of-detail step (sliced_wasserstein.py:55-61
+    capability; NHWC float in, float out — the uint8 round-trip there was an
+    artifact of its numpy pipeline)."""
+    if lod == 0:
+        return images
+    x = images.astype(jnp.float32)
+    for _ in range(lod):
+        x = (x[:, 0::2, 0::2, :] + x[:, 0::2, 1::2, :]
+             + x[:, 1::2, 0::2, :] + x[:, 1::2, 1::2, :]) * 0.25
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Patch descriptors
 # ---------------------------------------------------------------------------
@@ -192,6 +205,53 @@ def sliced_wasserstein_distance(a, b, rng, dir_repeats: int = DIR_REPEATS,
 # ---------------------------------------------------------------------------
 # Streaming metric (the reference's SWDMetric protocol, bug-fixed)
 # ---------------------------------------------------------------------------
+
+
+class SWDAPI:
+    """The reference's standalone evaluation protocol
+    (sliced_wasserstein.py:98-133): ``begin(mode)`` → ``feed(mode, batch)``* →
+    ``end(mode)``; 'warmup'/'reals' set the real-descriptor bank, 'fakes'
+    returns ``[SWD×1e3 per level..., average]``. NHWC batches.
+    """
+
+    def __init__(self, image_shape, seed: int = 0):
+        # image_shape: (H, W, C) or (N, H, W, C)-like; uses the H entry.
+        res = image_shape[1] if len(image_shape) == 4 else image_shape[0]
+        self._metric = SWDMetric(seed=seed)
+        self._metric._build(res, image_shape[-1])
+        self.resolutions = self._metric.resolutions
+        self.desc_real = None
+        self._descriptors = None
+        self._n = 0
+
+    def get_metric_names(self) -> List[str]:
+        return self._metric.get_metric_names()
+
+    def begin(self, mode: str) -> None:
+        assert mode in ("warmup", "reals", "fakes")
+        self._descriptors = [[] for _ in self.resolutions]
+
+    def feed(self, mode: str, minibatch) -> None:
+        self._n += 1
+        k = jax.random.fold_in(self._metric._rng, self._n)
+        for lod, desc in enumerate(
+                self._metric._extract(jnp.asarray(minibatch), k)):
+            self._descriptors[lod].append(desc)
+
+    def end(self, mode: str) -> List[float]:
+        desc = [finalize_descriptors(jnp.concatenate(d, axis=0),
+                                     self._metric._channels)
+                for d in self._descriptors]
+        self._descriptors = None
+        if mode in ("warmup", "reals"):
+            self.desc_real = desc
+        dist = []
+        for lod, (dr, df) in enumerate(zip(self.desc_real, desc)):
+            k = jax.random.fold_in(self._metric._rng, 20_000 + lod)
+            dist.append(float(sliced_wasserstein_distance(
+                dr, df, k, self._metric.dir_repeats,
+                self._metric.dirs_per_repeat)) * 1e3)
+        return dist + [float(np.mean(dist))]
 
 
 class SWDMetric:

@@ -99,3 +99,16 @@ class TestInceptionPreprocess:
         y = inception_preprocess(x, size=75)
         assert y.shape == (2, 75, 75, 3)
         np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-5)
+
+
+class TestCalculateFid:
+    def test_matches_frechet_on_moments(self):
+        rng = np.random.RandomState(6)
+        x = rng.randn(400, 8).astype(np.float32)
+        y = (rng.randn(400, 8) + 0.5).astype(np.float32)
+        got = F.calculate_fid(x, y)
+        want = F.frechet_distance(x.mean(0), np.cov(x, rowvar=False),
+                                  y.mean(0), np.cov(y, rowvar=False))
+        # (calculate_fid upcasts to float64 before the moments; the hand
+        # computation above takes float32 means — agree to float32 precision)
+        assert got == pytest.approx(want, rel=1e-6)

@@ -156,3 +156,36 @@ class TestSWD:
         fakes = jnp.zeros((8, 32, 32, 3), jnp.float32)
         m.update_state(reals, fakes)
         assert m.result() > 1.0
+
+
+class TestSWDAPI:
+    def test_protocol(self):
+        from blurred_gan_tpu.metrics.swd import SWDAPI
+
+        rng = np.random.RandomState(9)
+        api = SWDAPI((1, 32, 32, 3))
+        assert api.get_metric_names() == ["SWDx1e3_32", "SWDx1e3_16",
+                                          "SWDx1e3_avg"]
+        reals = rng.rand(8, 32, 32, 3).astype(np.float32)
+        api.begin("reals")
+        api.feed("reals", reals[:4])
+        api.feed("reals", reals[4:])
+        self_dist = api.end("reals")  # reals vs reals
+        assert len(self_dist) == 3
+        api.begin("fakes")
+        api.feed("fakes", np.zeros((8, 32, 32, 3), np.float32))
+        fake_dist = api.end("fakes")
+        assert fake_dist[-1] > self_dist[-1]
+
+
+class TestDownscale:
+    def test_average_pool(self):
+        from blurred_gan_tpu.metrics.swd import downscale_minibatch
+
+        x = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+        y = downscale_minibatch(x, 1)
+        assert y.shape == (1, 2, 2, 1)
+        np.testing.assert_allclose(np.asarray(y)[0, 0, 0, 0],
+                                   (0 + 1 + 4 + 5) / 4)
+        np.testing.assert_array_equal(np.asarray(downscale_minibatch(x, 0)),
+                                      np.asarray(x))
