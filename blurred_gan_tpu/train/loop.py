@@ -47,6 +47,16 @@ from blurred_gan_tpu.utils.logging import MetricsLogger
 from blurred_gan_tpu.ops.blur import blur_images
 
 
+def _local_shard(x):
+    """This process's slice of a (possibly multi-host) global array — host
+    hooks (metric feeders, image summaries) operate on addressable data only;
+    single-process arrays pass through untouched."""
+    if jax.process_count() > 1:
+        return jnp.concatenate(
+            [s.data for s in x.addressable_shards], axis=0)
+    return x
+
+
 class MetricFeeder:
     """Accumulates (reals, fakes) pairs into a metric every N examples
     (callbacks.py:138-206 capability: trigger, record ``num_samples`` images
@@ -331,7 +341,7 @@ class Trainer:
 
                 interval = self.cfg.image_summaries_interval_batches
                 if interval and int(self.state.n_batches) % interval == 0:
-                    self._image_summaries(batch, fakes, sigma)
+                    self._image_summaries(batch, _local_shard(fakes), sigma)
 
                 self.hooks.after_step(step_examples, logs)
                 reals_f = None
@@ -342,7 +352,7 @@ class Trainer:
                             if reals_f.dtype == jnp.uint8:
                                 reals_f = (reals_f.astype(jnp.float32)
                                            - 127.5) / 127.5
-                        out = feeder.feed(reals_f, fakes)
+                        out = feeder.feed(reals_f, _local_shard(fakes))
                         if out:
                             self.logger.scalars(self.samples_seen, out)
                             pretty = {k2: round(v, 4) for k2, v in out.items()}
