@@ -40,11 +40,19 @@ BASELINE_DENOM = 8.17
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=None,
+                   help="override batch size (default 32, the reference's; "
+                        "b128 peaks at ~11.1k img/s on v5e — see BASELINE.md)")
+    args = p.parse_args()
+
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
-        resolution, batch, steps = 128, 32, 50
+        resolution, batch, steps = 128, args.batch or 32, 50
     else:  # CPU smoke: tiny but same code path
-        resolution, batch, steps = 32, 8, 3
+        resolution, batch, steps = 32, args.batch or 8, 3
 
     from blurred_gan_tpu.models import celeba_discriminator, celeba_generator
     from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,

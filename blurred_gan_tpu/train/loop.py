@@ -130,7 +130,8 @@ class Trainer:
                  adaptive_controller: Optional[AdaptiveBlurController] = None,
                  metric_feeders: Sequence[MetricFeeder] = (),
                  image_shape=None,
-                 config_sidecars: Optional[Dict] = None):
+                 config_sidecars: Optional[Dict] = None,
+                 state_shardings=None):
         self.gan = gan
         self.hparams = hparams
         self.dataset = dataset
@@ -158,7 +159,8 @@ class Trainer:
         # step. The loop immediately rebinds self.state to the step's output,
         # so the donated (invalidated) buffers are never touched again.
         self.step_fn = make_train_step(gan, hparams, mesh=mesh,
-                                       donate_state=True)
+                                       donate_state=True,
+                                       state_shardings=state_shardings)
         self.sample_fn = make_sample_fn(gan, mesh=mesh)
         # Fixed latents for the sample grid — constant across the run
         # (callbacks.py:217-224).
