@@ -389,10 +389,12 @@ class Trainer:
             if reals.dtype == jnp.uint8:
                 reals = (reals.astype(jnp.float32) - 127.5) / 127.5
             rng, k = jax.random.split(rng)
+            # Always sample a full batch (a partial final batch may not divide
+            # the mesh's data axis) and slice down afterwards.
             fakes = self.sample_fn(self.state,
-                                   self.gan.sample_latents(k, take))
+                                   self.gan.sample_latents(k, bs))
             for m in metrics:
-                m.update_state(reals, fakes)
+                m.update_state(reals, _local_shard(fakes)[:take])
             done += take
         out: Dict[str, float] = {}
         for m in metrics:
