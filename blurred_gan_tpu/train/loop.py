@@ -366,6 +366,77 @@ class Trainer:
         self.logger.flush()
         return self.state
 
+    def fit_device_resident(self, total_examples: int, chunk_steps: int = 50,
+                            max_chunks: Optional[int] = None) -> TrainState:
+        """Full-device-rate training for datasets that fit in HBM as uint8:
+        ``chunk_steps`` train steps per dispatch via ``lax.scan`` with the σ
+        controller compiled into the program (train/fast.py). Hooks and
+        logging replay per step after each chunk; checkpoint/sample-grid
+        actions land on chunk boundaries. Metric feeders are not supported in
+        this mode — use :meth:`evaluate` between chunks instead.
+        """
+        from blurred_gan_tpu.train.fast import (AdaptiveState, chunk_indices,
+                                                make_chunked_train_fn)
+
+        assert hasattr(self.dataset, "images"), \
+            "device-resident mode needs a memory-resident ArrayDataset"
+        assert not self.metric_feeders, \
+            "metric feeders are host-driven; use evaluate() in chunked mode"
+        bs = self.hparams.global_batch_size
+        chunk_fn = make_chunked_train_fn(
+            self.gan, self.hparams, chunk_steps, mesh=self.mesh,
+            blur_controller=self.blur_controller,
+            adaptive_controller=self.adaptive_controller)
+        data = jax.device_put(self.dataset.images)
+        if self.adaptive_controller is not None:
+            ada = AdaptiveState.init(self.adaptive_controller)
+            if self.ada_state is not None:  # restored host state carries over
+                ada = AdaptiveState(
+                    jnp.float32(self.ada_state.std),
+                    jnp.float32(self.ada_state.score_ratio),
+                    jnp.int32(self.ada_state.last_modification_batch),
+                    jnp.bool_(self.ada_state.stop_training))
+        else:
+            ada = AdaptiveState(jnp.float32(0), jnp.float32(0.5),
+                                jnp.int32(0), jnp.bool_(False))
+
+        chunks_done = 0
+        while self.samples_seen < total_examples and not self._stop:
+            if max_chunks is not None and chunks_done >= max_chunks:
+                break
+            idx = jnp.asarray(chunk_indices(
+                self.dataset.num_examples, bs, chunk_steps,
+                int(self.state.n_batches), self.cfg.seed))
+            self.state, ada, stacked = chunk_fn(
+                self.state, ada, data, idx, self._train_rng)
+            chunks_done += 1
+
+            arrs = {k: np.asarray(v) for k, v in stacked.items()}
+            for i in range(chunk_steps):
+                logs = {k: float(v[i]) for k, v in arrs.items()}
+                self._current_sigma = logs.get("std", 0.0)
+                self.hooks.after_step(bs, logs)
+                self._last_metrics = logs
+            if self.adaptive_controller is not None:
+                # Mirror the device controller state back to the host (so
+                # checkpoints and a later host-loop fit() resume seamlessly).
+                from blurred_gan_tpu.sched.blur import AdaptiveBlurState
+
+                self.ada_state = AdaptiveBlurState(
+                    std=float(ada.std),
+                    score_ratio=float(ada.score_ratio),
+                    last_modification_batch=int(
+                        ada.last_modification_batch),
+                    stop_training=bool(ada.stop_training))
+                if self.ada_state.stop_training:
+                    print("[trainer] adaptive controller reached min std - "
+                          "stopping")
+                    self._stop = True
+        self.ckpt.save(self.samples_seen, self.state, self._aux_dict())
+        self.ckpt.wait_until_finished()
+        self.logger.flush()
+        return self.state
+
     def evaluate(self, num_samples: int = 1000, metrics=None,
                  seed: int = 1234) -> Dict[str, float]:
         """On-demand SWD/FID between dataset reals and fresh generator samples

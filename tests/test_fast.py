@@ -1,0 +1,120 @@
+"""Tests for device-resident chunked training (train/fast.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from blurred_gan_tpu.data import synthetic_dataset
+from blurred_gan_tpu.models import DCGANDiscriminator, DCGANGenerator
+from blurred_gan_tpu.sched.blur import (
+    AdaptiveBlurController,
+    BlurDecayController,
+)
+from blurred_gan_tpu.train import (
+    BlurredWGANGPHyperParameters,
+    GAN,
+    Trainer,
+    TrainerConfig,
+)
+from blurred_gan_tpu.train.fast import (
+    AdaptiveState,
+    adaptive_update,
+    chunk_indices,
+)
+
+
+def micro_gan():
+    g = DCGANGenerator(latent_size=16, init_hw=(4, 4), init_features=32,
+                       blocks=((32, 2), (16, 2)), out_channels=1,
+                       final_transpose=False, final_stride=1)
+    d = DCGANDiscriminator(channels=(16, 32))
+    return GAN(g, d, latent_size=16, blurred=True)
+
+
+def hparams():
+    return BlurredWGANGPHyperParameters(batch_size=8, global_batch_size=8)
+
+
+def mk_trainer(tmp_path, subdir, **kw):
+    cfg = TrainerConfig(log_dir=str(tmp_path / subdir),
+                        log_metrics_every_n_examples=16,
+                        checkpoint_every_n_examples=1_000_000,
+                        sample_grid_every_n_examples=1_000_000,
+                        image_summaries_interval_batches=0,
+                        save_sample_pngs=False, seed=0)
+    return Trainer(micro_gan(), hparams(),
+                   synthetic_dataset((16, 16, 1), num_examples=64),
+                   trainer_config=cfg, **kw)
+
+
+class TestAdaptiveDeviceHostEquivalence:
+    def test_transition_matches_host_controller(self):
+        c = AdaptiveBlurController(warmup_n_batches=3,
+                                   delay_between_modifications=2,
+                                   max_value=5.0, threshold=0.05)
+        host = c.init()
+        dev = AdaptiveState.init(c)
+        rng = np.random.RandomState(0)
+        for b in range(1, 40):
+            fake = float(abs(rng.randn()) + 0.5)
+            real = float(abs(rng.randn()) + 0.5)
+            host, _ = c.update(host, b, fake, real)
+            dev = adaptive_update(c, dev, jnp.int32(b), jnp.float32(fake),
+                                  jnp.float32(real))
+            assert float(dev.std) == pytest.approx(host.std, rel=1e-5), b
+            assert float(dev.score_ratio) == pytest.approx(host.score_ratio,
+                                                           rel=1e-4)
+            assert int(dev.last_modification_batch) == \
+                host.last_modification_batch
+            assert bool(dev.stop_training) == host.stop_training
+
+
+class TestChunkIndices:
+    def test_continues_dataset_stream(self):
+        ds = synthetic_dataset((8, 8, 1), num_examples=64, seed=1)
+        # host stream: 10 batches of 8 from the epoch-seeded permutation
+        direct = [b.copy() for _, b in zip(range(10), ds.batches(8, seed=5))]
+        idx = chunk_indices(64, 8, 10, start_batch_counter=0, seed=5)
+        for i in range(10):
+            np.testing.assert_array_equal(ds.images[idx[i]], direct[i])
+
+    def test_resume_mid_stream(self):
+        idx_all = chunk_indices(64, 8, 10, 0, seed=5)
+        idx_tail = chunk_indices(64, 8, 4, 6, seed=5)
+        np.testing.assert_array_equal(idx_all[6:], idx_tail)
+
+
+class TestChunkedFit:
+    def test_matches_host_loop(self, tmp_path):
+        # 6 steps chunked == 6 steps host-driven (same data, RNG, sigma).
+        tr_a = mk_trainer(tmp_path, "host",
+                          blur_controller=BlurDecayController(640,
+                                                              max_value=1.0))
+        state_a = tr_a.fit(total_examples=10_000, max_steps=6)
+        tr_a.close()
+
+        tr_b = mk_trainer(tmp_path, "chunked",
+                          blur_controller=BlurDecayController(640,
+                                                              max_value=1.0))
+        state_b = tr_b.fit_device_resident(total_examples=10_000,
+                                           chunk_steps=3, max_chunks=2)
+        tr_b.close()
+
+        assert int(state_a.n_batches) == int(state_b.n_batches) == 6
+        for xa, xb in zip(jax.tree_util.tree_leaves(state_a.d_params),
+                          jax.tree_util.tree_leaves(state_b.d_params)):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_adaptive_chunked_runs_and_mirrors_state(self, tmp_path):
+        ada = AdaptiveBlurController(warmup_n_batches=0,
+                                     delay_between_modifications=1,
+                                     max_value=1.0)
+        tr = mk_trainer(tmp_path, "ada", adaptive_controller=ada)
+        tr.fit_device_resident(total_examples=10_000, chunk_steps=4,
+                               max_chunks=2)
+        assert tr.ada_state is not None
+        assert tr.ada_state.std < 1.0  # decayed on device
+        assert tr.ada_state.last_modification_batch > 0
+        tr.close()
