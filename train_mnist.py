@@ -62,6 +62,11 @@ def main():
                         help="create an auto-numbered results/NN-<name> run dir"
                              " (utils.py:14-24 capability); overrides"
                              " --log_dir")
+    parser.add_argument("--device_resident", action="store_true",
+                        help="park the dataset in HBM and scan many steps per"
+                             " dispatch (full device rate; SWD/FID feeders"
+                             " disabled — use generate/evaluate offline)")
+    parser.add_argument("--chunk_steps", type=int, default=100)
     args = parser.parse_args()
 
     hparams = BlurredWGANGPHyperParameters.from_args(args)
@@ -91,7 +96,7 @@ def main():
             total_n_training_examples=total_examples,
             max_value=hparams.initial_blur_std)
 
-    feeders = [
+    feeders = [] if args.device_resident else [
         MetricFeeder(SWDMetric(), every_n_examples=50_000, num_samples=1000,
                      name="swd"),
         MetricFeeder(FIDMetric(), every_n_examples=50_000, num_samples=100,
@@ -112,7 +117,14 @@ def main():
     )
     print(f"[train_mnist] devices={n_dev} global_bs={hparams.global_batch_size} "
           f"dataset={dataset.name} total_examples={total_examples}")
-    trainer.fit(total_examples=total_examples, max_steps=args.max_steps)
+    if args.device_resident:
+        max_chunks = (None if args.max_steps is None
+                      else max(args.max_steps // args.chunk_steps, 1))
+        trainer.fit_device_resident(total_examples=total_examples,
+                                    chunk_steps=args.chunk_steps,
+                                    max_chunks=max_chunks)
+    else:
+        trainer.fit(total_examples=total_examples, max_steps=args.max_steps)
     trainer.close()
 
 
