@@ -86,11 +86,13 @@ def main():
 
         return jax.lax.scan(body, state, jnp.arange(steps))
 
+    # Block on the FULL output pytree — blocking on a single small leaf has
+    # produced bogus timings through the remote relay (see CLAUDE.md).
     state2, losses = run(state, reals)  # compile + warmup
-    jax.block_until_ready(losses)
+    jax.block_until_ready((state2, losses))
     t0 = time.perf_counter()
     state2, losses = run(state, reals)
-    jax.block_until_ready(losses)
+    jax.block_until_ready((state2, losses))
     dt = time.perf_counter() - t0
 
     images_per_sec = steps * batch / dt

@@ -54,20 +54,25 @@ class ArrayDataset:
         return tuple(self.images.shape[1:])
 
     def batches(self, batch_size: int, *, seed: int = 0, start_epoch: int = 0,
-                start_batch: int = 0,
+                start_batch: int = 0, shard_index: int = 0,
+                shard_count: int = 1,
                 drop_remainder: bool = True) -> Iterator[np.ndarray]:
         """Infinite epoch-shuffled uint8 batch stream.
 
         ``start_epoch``/``start_batch`` resume the deterministic stream
         mid-run (checkpoint/resume contract: position is pure index math, no
-        batches are decoded just to be skipped).
+        batches are decoded just to be skipped). ``shard_index/shard_count``
+        give multi-host processes disjoint strided shards of the *same*
+        epoch permutation (each example appears once per epoch globally).
         """
         epoch = start_epoch
         n = self.num_examples
         first = start_batch * batch_size
         while True:
             order = np.random.RandomState(seed + epoch).permutation(n)
-            end = n - (n % batch_size) if drop_remainder else n
+            order = order[shard_index::shard_count]
+            m = len(order)
+            end = m - (m % batch_size) if drop_remainder else m
             for i in range(first, end, batch_size):
                 yield self.images[order[i:i + batch_size]]
             epoch += 1
@@ -153,11 +158,10 @@ def load_celeba(path: Optional[str] = None, resolution: int = 128,
     if not allow_synthetic_fallback:
         raise FileNotFoundError(
             f"no CelebA image dir found in {candidates}")
-    n = num_examples or 202_599
+    n = min(num_examples or 202_599, 20_000)  # cap the procedural corpus
     print(f"[data] CelebA not found locally - using deterministic synthetic "
           f"{resolution}x{resolution}x3 surrogate ({n} examples)")
-    return synthetic_dataset((resolution, resolution, 3),
-                             num_examples=min(n, 20_000))
+    return synthetic_dataset((resolution, resolution, 3), num_examples=n)
 
 
 class ImageFolderDataset:
@@ -216,14 +220,17 @@ class ImageFolderDataset:
         return np.stack([self._decode(p) for p in paths])
 
     def batches(self, batch_size: int, *, seed: int = 0, start_epoch: int = 0,
-                start_batch: int = 0,
+                start_batch: int = 0, shard_index: int = 0,
+                shard_count: int = 1,
                 drop_remainder: bool = True) -> Iterator[np.ndarray]:
         epoch = start_epoch
         n = len(self.files)
         first = start_batch * batch_size
         while True:
             order = np.random.RandomState(seed + epoch).permutation(n)
-            end = n - (n % batch_size) if drop_remainder else n
+            order = order[shard_index::shard_count]
+            m = len(order)
+            end = m - (m % batch_size) if drop_remainder else m
             for i in range(first, end, batch_size):
                 idx = order[i:i + batch_size]
                 yield self._decode_batch([self.files[j] for j in idx])
@@ -245,12 +252,16 @@ class DataPipeline:
     """
 
     def __init__(self, dataset, batch_size: int, *, seed: int = 0,
-                 start_epoch: int = 0, start_batch: int = 0, prefetch: int = 2):
+                 start_epoch: int = 0, start_batch: int = 0,
+                 shard_index: int = 0, shard_count: int = 1,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.start_epoch = start_epoch
         self.start_batch = start_batch
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self.prefetch = prefetch
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -258,32 +269,45 @@ class DataPipeline:
 
     @property
     def steps_per_epoch(self) -> int:
-        return self.dataset.num_examples // self.batch_size
+        return (self.dataset.num_examples
+                // self.shard_count // self.batch_size)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         self._queue = queue.Queue(maxsize=self.prefetch)
         self._stop.clear()
 
+        def put(item) -> bool:
+            while True:
+                try:
+                    self._queue.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    if self._stop.is_set():
+                        return False
+
         def worker():
-            it = self.dataset.batches(self.batch_size, seed=self.seed,
-                                      start_epoch=self.start_epoch,
-                                      start_batch=self.start_batch)
-            for batch in it:
-                if self._stop.is_set():
-                    return
-                while True:
-                    try:
-                        self._queue.put(batch, timeout=0.5)
-                        break
-                    except queue.Full:
-                        if self._stop.is_set():
-                            return
+            # A decode error must surface in the consumer, not silently kill
+            # this thread (which would hang training on an untimed get()).
+            try:
+                it = self.dataset.batches(self.batch_size, seed=self.seed,
+                                          start_epoch=self.start_epoch,
+                                          start_batch=self.start_batch,
+                                          shard_index=self.shard_index,
+                                          shard_count=self.shard_count)
+                for batch in it:
+                    if self._stop.is_set() or not put(batch):
+                        return
+            except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+                put(e)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
         try:
             while True:
-                yield self._queue.get()
+                item = self._queue.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         finally:
             self.close()
 

@@ -130,9 +130,13 @@ def make_chunked_train_fn(gan: GAN, hparams, chunk_steps: int,
         return jax.jit(chunk, donate_argnums=(0,))
     replicated = NamedSharding(mesh, P())
     state_sh = replicated if state_shardings is None else state_shardings
+    # The dataset is replicated (this mode trades HBM for zero host traffic)
+    # but the per-step index rows are sharded over the data axis, so each
+    # device gathers and trains on only its shard of every batch — real DP.
+    idx_sharded = NamedSharding(mesh, P(None, "data"))
     return jax.jit(
         chunk,
-        in_shardings=(state_sh, replicated, replicated, replicated,
+        in_shardings=(state_sh, replicated, replicated, idx_sharded,
                       replicated),
         out_shardings=(state_sh, replicated, replicated),
         donate_argnums=(0,),

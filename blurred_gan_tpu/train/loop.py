@@ -172,7 +172,14 @@ class Trainer:
                 config_sidecars.get("hparams").asdict()
                 if config_sidecars.get("hparams") is not None else {})
 
+        self._state_shardings = state_shardings
         self._maybe_restore()
+        # Host mirrors of the device counters: the dispatch path must never
+        # read a device scalar (that blocks on the in-flight step and kills
+        # async pipelining). By construction they always equal the device
+        # values. Synced once here (and on restore).
+        self._n_batches_host = int(self.state.n_batches)
+        self._n_img_host = int(self.state.n_img)
         self._build_hooks()
         self._last_metrics: Dict[str, float] = {}
         self._stop = False
@@ -215,7 +222,19 @@ class Trainer:
         self.logger.scalars(samples_seen, logs, prefix="batch_")
 
     def _sample_grid(self, samples_seen: int, logs: Dict) -> None:
-        samples = self.sample_fn(self.state, self.grid_latents)
+        latents = self.grid_latents
+        if jax.process_count() > 1:
+            # Multi-host: contribute this process's contiguous slice of the
+            # fixed latents as a global array; the grid below shows the local
+            # samples.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_proc, pi = jax.process_count(), jax.process_index()
+            per = latents.shape[0] // n_proc
+            latents = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, P("data")),
+                np.asarray(latents)[pi * per:(pi + 1) * per])
+        samples = _local_shard(self.sample_fn(self.state, latents))
         if self.cfg.show_blurred_samples:
             samples = blur_images(samples, jnp.float32(self._current_sigma))
         grid = samples_grid(normalize_images(np.asarray(samples)))
@@ -246,23 +265,21 @@ class Trainer:
                           samples_grid(normalize_images(blurred), grid))
 
     def _checkpoint(self, samples_seen: int, logs: Dict) -> None:
-        aux = {}
-        if self.ada_state is not None:
-            aux["adaptive_blur"] = AdaptiveBlurController.state_to_dict(
-                self.ada_state)
-        self.ckpt.save(samples_seen, self.state, aux)
+        # Keyed by the examples count of the state actually being saved (the
+        # hook's own counter can lag it, e.g. during chunked-mode replay).
+        self.ckpt.save(self.samples_seen, self.state, self._aux_dict())
 
     # ------------------------------------------------------------------ train
 
     @property
     def samples_seen(self) -> int:
-        return int(self.state.n_img)
+        return self._n_img_host
 
     def sigma_for_step(self) -> float:
         if self.ada_state is not None:
             return float(self.ada_state.std)
         if self.blur_controller is not None:
-            return self.blur_controller.sigma(int(self.state.n_batches))
+            return self.blur_controller.sigma(self._n_batches_host)
         return getattr(self.hparams, "initial_blur_std", 0.0)
 
     def fit(self, total_examples: int, max_steps: Optional[int] = None) -> TrainState:
@@ -271,19 +288,22 @@ class Trainer:
         from blurred_gan_tpu.data.pipeline import DataPipeline
 
         # Resume the deterministic data stream at the exact batch position
-        # (epoch = examples // dataset size, batch offset within the epoch).
-        # Multi-host: each process pipelines its 1/process_count share of the
-        # global batch from a process-disjoint stream, assembled into one
-        # global array below (SURVEY.md §5.8).
+        # (epoch/offset index math over this process's shard). Multi-host:
+        # every process takes a disjoint contiguous-stride shard of the SAME
+        # epoch permutation, so each example appears once per global epoch
+        # (SURVEY.md §5.8), and the shards assemble into one global array
+        # below.
         n_proc = jax.process_count()
         bs = self.hparams.global_batch_size
         local_bs = bs // n_proc
-        seed = self.cfg.seed + jax.process_index() * 7919
-        steps_per_epoch = max(self.dataset.num_examples // local_bs, 1)
-        start_epoch = int(self.state.n_batches) // steps_per_epoch
-        start_batch = int(self.state.n_batches) % steps_per_epoch
-        pipe = DataPipeline(self.dataset, local_bs, seed=seed,
-                            start_epoch=start_epoch, start_batch=start_batch)
+        steps_per_epoch = max(
+            (self.dataset.num_examples // n_proc) // local_bs, 1)
+        start_epoch = self._n_batches_host // steps_per_epoch
+        start_batch = self._n_batches_host % steps_per_epoch
+        pipe = DataPipeline(self.dataset, local_bs, seed=self.cfg.seed,
+                            start_epoch=start_epoch, start_batch=start_batch,
+                            shard_index=jax.process_index(),
+                            shard_count=n_proc)
         batch_sharding = None
         if n_proc > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -291,13 +311,22 @@ class Trainer:
             assert self.mesh is not None, "multi-host training needs a mesh"
             batch_sharding = NamedSharding(self.mesh, P("data"))
         steps_done = 0
-        t_last, n_last = time.time(), self.samples_seen
+        self._throughput = (time.time(), self.samples_seen)
 
         def interrupt_save():
             print("[trainer] interrupted - saving checkpoint")
             self.ckpt.save(self.samples_seen, self.state, self._aux_dict())
             self.ckpt.wait_until_finished()
 
+        # With an open-loop σ schedule nothing on the host needs step N's
+        # metrics before dispatching step N+1, so host-side processing runs
+        # one step behind the dispatch and the device never waits on logging
+        # (the async-pipelining contract). The adaptive controller reads each
+        # step's scores before choosing the next σ (the reference's
+        # one-step-lagged feedback, callbacks.py:112-135) — that sync is the
+        # price of the closed loop.
+        pipeline_ahead = self.adaptive_controller is None
+        pending = None
         with save_on_interrupt(interrupt_save):
             for batch in pipe:
                 if self.samples_seen >= total_examples or self._stop:
@@ -305,10 +334,11 @@ class Trainer:
                 if max_steps is not None and steps_done >= max_steps:
                     break
                 sigma = self._current_sigma = self.sigma_for_step()
-                # Step key is a pure function of the batch counter so a resumed
-                # run replays the identical RNG stream (bit-exact resume).
-                k = jax.random.fold_in(self._train_rng,
-                                       int(self.state.n_batches))
+                # Step key is a pure function of the batch counter so a
+                # resumed run replays the identical RNG stream (bit-exact
+                # resume). Host-mirror counters keep this free of device
+                # syncs.
+                k = jax.random.fold_in(self._train_rng, self._n_batches_host)
                 if batch_sharding is not None:
                     device_batch = jax.make_array_from_process_local_data(
                         batch_sharding, np.ascontiguousarray(batch))
@@ -317,54 +347,70 @@ class Trainer:
                 self.state, metrics, fakes = self.step_fn(
                     self.state, device_batch, jnp.float32(sigma), k)
                 steps_done += 1
+                self._n_batches_host += 1
+                self._n_img_host += device_batch.shape[0]
 
-                logs = {name: float(v) for name, v in metrics.items()}
-                step_examples = device_batch.shape[0]  # global batch size
-
-                if self.adaptive_controller is not None:
-                    self.ada_state, tele = self.adaptive_controller.update(
-                        self.ada_state, int(self.state.n_batches),
-                        logs["fake_scores"], logs["real_scores"])
-                    logs.update(tele)
-                    if self.ada_state.stop_training:
-                        print("[trainer] adaptive controller reached min std - "
-                              "stopping")
-                        self._stop = True
-
-                if time.time() - t_last > 5.0:
-                    now, n_now = time.time(), self.samples_seen
-                    logs["images_per_sec"] = (n_now - n_last) / (now - t_last)
-                    t_last, n_last = now, n_now
-                    print(f"[trainer] {n_now} examples "
-                          f"({int(self.state.n_batches)} batches) "
-                          f"d_loss={logs['disc_loss']:+.4f} "
-                          f"std={logs['std']:.4f} "
-                          f"{logs['images_per_sec']:.1f} img/s", flush=True)
-
-                interval = self.cfg.image_summaries_interval_batches
-                if interval and int(self.state.n_batches) % interval == 0:
-                    self._image_summaries(batch, _local_shard(fakes), sigma)
-
-                self.hooks.after_step(step_examples, logs)
-                reals_f = None
-                for feeder in self.metric_feeders:
-                    if feeder.recording:
-                        if reals_f is None:
-                            reals_f = jnp.asarray(batch)
-                            if reals_f.dtype == jnp.uint8:
-                                reals_f = (reals_f.astype(jnp.float32)
-                                           - 127.5) / 127.5
-                        out = feeder.feed(reals_f, _local_shard(fakes))
-                        if out:
-                            self.logger.scalars(self.samples_seen, out)
-                            pretty = {k2: round(v, 4) for k2, v in out.items()}
-                            print(f"[metrics @ {self.samples_seen}] {pretty}")
-                self._last_metrics = logs
+                item = (batch, device_batch.shape[0], metrics, fakes, sigma,
+                        self._n_batches_host, self._n_img_host)
+                if pipeline_ahead:
+                    if pending is not None:
+                        self._process_step_host(*pending)
+                    pending = item
+                else:
+                    self._process_step_host(*item)
+            if pending is not None:
+                self._process_step_host(*pending)
         pipe.close()
         self.ckpt.save(self.samples_seen, self.state, self._aux_dict())
         self.ckpt.wait_until_finished()
         self.logger.flush()
         return self.state
+
+    def _process_step_host(self, batch, step_examples, metrics, fakes, sigma,
+                           n_batches, n_img) -> None:
+        """Host-side work for one completed step: controller feedback,
+        logging, hooks, image summaries, metric feeders. Reading ``metrics``
+        synchronises on that step having finished."""
+        logs = {name: float(v) for name, v in metrics.items()}
+
+        if self.adaptive_controller is not None:
+            self.ada_state, tele = self.adaptive_controller.update(
+                self.ada_state, n_batches,
+                logs["fake_scores"], logs["real_scores"])
+            logs.update(tele)
+            if self.ada_state.stop_training:
+                print("[trainer] adaptive controller reached min std - "
+                      "stopping")
+                self._stop = True
+
+        t_last, n_last = self._throughput
+        if time.time() - t_last > 5.0:
+            now = time.time()
+            logs["images_per_sec"] = (n_img - n_last) / (now - t_last)
+            self._throughput = (now, n_img)
+            print(f"[trainer] {n_img} examples ({n_batches} batches) "
+                  f"d_loss={logs['disc_loss']:+.4f} std={logs['std']:.4f} "
+                  f"{logs['images_per_sec']:.1f} img/s", flush=True)
+
+        interval = self.cfg.image_summaries_interval_batches
+        if interval and n_batches % interval == 0:
+            self._image_summaries(batch, _local_shard(fakes), sigma)
+
+        self.hooks.after_step(step_examples, logs)
+        reals_f = None
+        for feeder in self.metric_feeders:
+            if feeder.recording:
+                if reals_f is None:
+                    reals_f = jnp.asarray(batch)
+                    if reals_f.dtype == jnp.uint8:
+                        reals_f = (reals_f.astype(jnp.float32)
+                                   - 127.5) / 127.5
+                out = feeder.feed(reals_f, _local_shard(fakes))
+                if out:
+                    self.logger.scalars(n_img, out)
+                    pretty = {k2: round(v, 4) for k2, v in out.items()}
+                    print(f"[metrics @ {n_img}] {pretty}")
+        self._last_metrics = logs
 
     def fit_device_resident(self, total_examples: int, chunk_steps: int = 50,
                             max_chunks: Optional[int] = None) -> TrainState:
@@ -382,11 +428,14 @@ class Trainer:
             "device-resident mode needs a memory-resident ArrayDataset"
         assert not self.metric_feeders, \
             "metric feeders are host-driven; use evaluate() in chunked mode"
+        assert jax.process_count() == 1, \
+            "device-resident mode is single-host (multi-chip via mesh is fine)"
         bs = self.hparams.global_batch_size
         chunk_fn = make_chunked_train_fn(
             self.gan, self.hparams, chunk_steps, mesh=self.mesh,
             blur_controller=self.blur_controller,
-            adaptive_controller=self.adaptive_controller)
+            adaptive_controller=self.adaptive_controller,
+            state_shardings=self._state_shardings)
         data = jax.device_put(self.dataset.images)
         if self.adaptive_controller is not None:
             ada = AdaptiveState.init(self.adaptive_controller)
@@ -400,35 +449,46 @@ class Trainer:
             ada = AdaptiveState(jnp.float32(0), jnp.float32(0.5),
                                 jnp.int32(0), jnp.bool_(False))
 
+        def interrupt_save():
+            print("[trainer] interrupted - saving checkpoint")
+            self.ckpt.save(self.samples_seen, self.state, self._aux_dict())
+            self.ckpt.wait_until_finished()
+
         chunks_done = 0
-        while self.samples_seen < total_examples and not self._stop:
-            if max_chunks is not None and chunks_done >= max_chunks:
-                break
-            idx = jnp.asarray(chunk_indices(
-                self.dataset.num_examples, bs, chunk_steps,
-                int(self.state.n_batches), self.cfg.seed))
-            self.state, ada, stacked = chunk_fn(
-                self.state, ada, data, idx, self._train_rng)
-            chunks_done += 1
+        with save_on_interrupt(interrupt_save):
+            while self.samples_seen < total_examples and not self._stop:
+                if max_chunks is not None and chunks_done >= max_chunks:
+                    break
+                idx = jnp.asarray(chunk_indices(
+                    self.dataset.num_examples, bs, chunk_steps,
+                    self._n_batches_host, self.cfg.seed))
+                self.state, ada, stacked = chunk_fn(
+                    self.state, ada, data, idx, self._train_rng)
+                chunks_done += 1
+                self._n_batches_host += chunk_steps
+                self._n_img_host += chunk_steps * bs
 
-            arrs = {k: np.asarray(v) for k, v in stacked.items()}
-            for i in range(chunk_steps):
-                logs = {k: float(v[i]) for k, v in arrs.items()}
-                self._current_sigma = logs.get("std", 0.0)
-                self.hooks.after_step(bs, logs)
-                self._last_metrics = logs
-            if self.adaptive_controller is not None:
-                # Mirror the device controller state back to the host (so
-                # checkpoints and a later host-loop fit() resume seamlessly).
-                from blurred_gan_tpu.sched.blur import AdaptiveBlurState
+                if self.adaptive_controller is not None:
+                    # Mirror the device controller back to the host BEFORE the
+                    # hook replay, so a checkpoint hook firing mid-replay saves
+                    # controller state consistent with the saved train state.
+                    from blurred_gan_tpu.sched.blur import AdaptiveBlurState
 
-                self.ada_state = AdaptiveBlurState(
-                    std=float(ada.std),
-                    score_ratio=float(ada.score_ratio),
-                    last_modification_batch=int(
-                        ada.last_modification_batch),
-                    stop_training=bool(ada.stop_training))
-                if self.ada_state.stop_training:
+                    self.ada_state = AdaptiveBlurState(
+                        std=float(ada.std),
+                        score_ratio=float(ada.score_ratio),
+                        last_modification_batch=int(
+                            ada.last_modification_batch),
+                        stop_training=bool(ada.stop_training))
+
+                arrs = {k: np.asarray(v) for k, v in stacked.items()}
+                for i in range(chunk_steps):
+                    logs = {k: float(v[i]) for k, v in arrs.items()}
+                    self._current_sigma = logs.get("std", 0.0)
+                    self.hooks.after_step(bs, logs)
+                    self._last_metrics = logs
+                if (self.adaptive_controller is not None
+                        and self.ada_state.stop_training):
                     print("[trainer] adaptive controller reached min std - "
                           "stopping")
                     self._stop = True

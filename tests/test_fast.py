@@ -118,3 +118,40 @@ class TestChunkedFit:
         assert tr.ada_state.std < 1.0  # decayed on device
         assert tr.ada_state.last_modification_batch > 0
         tr.close()
+
+
+class TestChunkedMesh:
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_chunked_on_mesh_matches_single_device(self):
+        from jax.sharding import Mesh
+        from blurred_gan_tpu.train import create_train_state
+        from blurred_gan_tpu.train.fast import make_chunked_train_fn
+
+        hp = BlurredWGANGPHyperParameters(batch_size=2, global_batch_size=16)
+        gan = micro_gan()
+        state = create_train_state(gan, hp, jax.random.PRNGKey(0), (16, 16, 1))
+        ds = synthetic_dataset((16, 16, 1), num_examples=64)
+        data = jnp.asarray(ds.images)
+        bc = BlurDecayController(640, max_value=1.0)
+        ada = AdaptiveState(jnp.float32(0), jnp.float32(0.5), jnp.int32(0),
+                            jnp.bool_(False))
+        idx = jnp.asarray(chunk_indices(64, 16, 3, 0, 0))
+        rng = jax.random.PRNGKey(1)
+
+        fn1 = make_chunked_train_fn(gan, hp, 3, blur_controller=bc)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        fn8 = make_chunked_train_fn(gan, hp, 3, mesh=mesh,
+                                    blur_controller=bc)
+        # chunk fns donate their input state — use a fresh (identical) state
+        # for the second call.
+        state2 = create_train_state(gan, hp, jax.random.PRNGKey(0),
+                                    (16, 16, 1))
+        s1, _, m1 = fn1(state, ada, data, idx, rng)
+        s8, _, m8 = fn8(state2, ada, data, idx, rng)
+        np.testing.assert_allclose(np.asarray(m1["disc_loss"]),
+                                   np.asarray(m8["disc_loss"]),
+                                   rtol=3e-4, atol=3e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
+                        jax.tree_util.tree_leaves(s8.d_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-4, atol=3e-5)
