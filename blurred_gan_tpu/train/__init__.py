@@ -14,6 +14,12 @@ from blurred_gan_tpu.train.checkpoint import (
     load_sidecar,
 )
 from blurred_gan_tpu.train.loop import Trainer, TrainerConfig, MetricFeeder
+from blurred_gan_tpu.train.fast import (
+    AdaptiveState,
+    adaptive_update,
+    chunk_indices,
+    make_chunked_train_fn,
+)
 
 __all__ = [
     "EveryNExamples",
@@ -25,6 +31,10 @@ __all__ = [
     "Trainer",
     "TrainerConfig",
     "MetricFeeder",
+    "AdaptiveState",
+    "adaptive_update",
+    "chunk_indices",
+    "make_chunked_train_fn",
     "TrainingConfig",
     "WGANHyperParameters",
     "WGANGPHyperParameters",
