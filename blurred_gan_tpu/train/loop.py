@@ -530,8 +530,7 @@ class Trainer:
         out: Dict[str, float] = {}
         for m in metrics:
             if hasattr(m, "results"):
-                out.update({f"{m.name}/{k2}" if not k2.startswith("SWD")
-                            else k2: v for k2, v in m.results().items()})
+                out.update(m.results())  # keys are already namespaced
             else:
                 out[m.name] = float(m.result())
             m.reset_states()

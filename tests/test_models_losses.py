@@ -241,3 +241,17 @@ class TestSaveOnInterrupt:
         with pytest.raises(KeyboardInterrupt):
             os.kill(os.getpid(), signal.SIGINT)
         assert calls == [1]
+
+    def test_trace_writes_files(self, tmp_path):
+        import os
+
+        import jax.numpy as jnp
+
+        from blurred_gan_tpu.utils import profiling
+
+        with profiling.trace(str(tmp_path)):
+            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+        found = []
+        for root, _, files in os.walk(tmp_path):
+            found.extend(files)
+        assert found, "no trace artifacts written"
