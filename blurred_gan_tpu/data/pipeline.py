@@ -70,7 +70,10 @@ class ArrayDataset:
         first = start_batch * batch_size
         while True:
             order = np.random.RandomState(seed + epoch).permutation(n)
-            order = order[shard_index::shard_count]
+            # Truncate to a multiple of shard_count so every process's shard
+            # has identical length (uneven shards would desync multi-host
+            # epochs and break the resume index math).
+            order = order[:n - (n % shard_count)][shard_index::shard_count]
             m = len(order)
             end = m - (m % batch_size) if drop_remainder else m
             for i in range(first, end, batch_size):
@@ -228,7 +231,7 @@ class ImageFolderDataset:
         first = start_batch * batch_size
         while True:
             order = np.random.RandomState(seed + epoch).permutation(n)
-            order = order[shard_index::shard_count]
+            order = order[:n - (n % shard_count)][shard_index::shard_count]
             m = len(order)
             end = m - (m % batch_size) if drop_remainder else m
             for i in range(first, end, batch_size):

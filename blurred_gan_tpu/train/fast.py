@@ -87,13 +87,16 @@ def make_chunked_train_fn(gan: GAN, hparams, chunk_steps: int,
     batches). Per-step σ comes from the in-program controller; ``metrics``
     leaves are stacked (chunk_steps,) arrays.
     """
-    assert (blur_controller is None) != (adaptive_controller is None), \
-        "exactly one σ controller"
+    assert blur_controller is None or adaptive_controller is None, \
+        "at most one σ controller"
     step = make_train_step(gan, hparams, mesh=None, donate_state=False)
     # mesh=None: the raw step is inlined into the scan below; sharding is
     # applied to the whole chunk program instead.
 
-    if blur_controller is not None:
+    if adaptive_controller is not None:
+        def sigma_of(n_batches, ada):
+            return ada.std
+    elif blur_controller is not None:
         bc = blur_controller
 
         def sigma_of(n_batches, ada):
@@ -101,14 +104,15 @@ def make_chunked_train_fn(gan: GAN, hparams, chunk_steps: int,
                 bc.schedule.decay_rate
                 ** (n_batches.astype(jnp.float32) / bc.schedule.decay_steps))
             return jnp.maximum(sig, bc.min_value)
-    else:
+    else:  # constant σ (non-blurred GANs pass 0)
+        const = float(getattr(hparams, "initial_blur_std", 0.0))
+
         def sigma_of(n_batches, ada):
-            return ada.std
+            return jnp.float32(const)
 
     def chunk(state: TrainState, ada: AdaptiveState, data_u8, idx, rng
               ) -> Tuple[TrainState, AdaptiveState, dict]:
-        def body(carry, idx_i):
-            st, ad = carry
+        def run_step(st, ad, idx_i):
             reals = jnp.take(data_u8, idx_i, axis=0)
             sigma = sigma_of(st.n_batches, ad)
             k = jax.random.fold_in(rng, st.n_batches)
@@ -121,6 +125,24 @@ def make_chunked_train_fn(gan: GAN, hparams, chunk_steps: int,
                 metrics["blur_controller/std"] = ad.std
                 metrics["blur_controller/smoothed_ratio"] = ad.score_ratio
                 metrics["stop_training"] = ad.stop_training
+            return st, ad, metrics
+
+        def body(carry, idx_i):
+            st, ad = carry
+            if adaptive_controller is None:
+                st, ad, metrics = run_step(st, ad, idx_i)
+            else:
+                # Once the controller raises stop_training, remaining steps of
+                # the chunk are no-ops (the host loop would have stopped
+                # dispatching) — keeps chunked state equal to the host loop's.
+                zeros = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype),
+                    jax.eval_shape(run_step, st, ad, idx_i)[2])
+                st, ad, metrics = jax.lax.cond(
+                    ad.stop_training,
+                    lambda op: (op[0], op[1], zeros),
+                    lambda op: run_step(*op),
+                    (st, ad, idx_i))
             return (st, ad), metrics
 
         (state, ada), stacked = jax.lax.scan(body, (state, ada), idx)
@@ -146,14 +168,20 @@ def make_chunked_train_fn(gan: GAN, hparams, chunk_steps: int,
 def chunk_indices(num_examples: int, batch: int, chunk_steps: int,
                   start_batch_counter: int, seed: int):
     """Host-side index matrix for one chunk, continuing the SAME epoch-seeded
-    permutation stream as ArrayDataset.batches (resume-compatible)."""
+    permutation stream as ArrayDataset.batches (resume-compatible). Each
+    epoch's permutation is generated once, not per step."""
     import numpy as np
 
-    steps_per_epoch = num_examples // batch
+    assert batch <= num_examples, (
+        f"global batch {batch} exceeds dataset size {num_examples}")
+    steps_per_epoch = max(num_examples // batch, 1)
     out = np.empty((chunk_steps, batch), np.int32)
+    perms = {}
     for i in range(chunk_steps):
         n = start_batch_counter + i
         epoch, pos = divmod(n, steps_per_epoch)
-        order = np.random.RandomState(seed + epoch).permutation(num_examples)
-        out[i] = order[pos * batch:(pos + 1) * batch]
+        if epoch not in perms:
+            perms = {epoch: np.random.RandomState(
+                seed + epoch).permutation(num_examples)}
+        out[i] = perms[epoch][pos * batch:(pos + 1) * batch]
     return out

@@ -420,6 +420,10 @@ class Trainer:
         logging replay per step after each chunk; checkpoint/sample-grid
         actions land on chunk boundaries. Metric feeders are not supported in
         this mode — use :meth:`evaluate` between chunks instead.
+
+        Progress is quantised to whole chunks: the run may overshoot
+        ``total_examples`` by up to ``chunk_steps * global_batch_size - 1``
+        examples (the host loop overshoots by at most one batch).
         """
         from blurred_gan_tpu.train.fast import (AdaptiveState, chunk_indices,
                                                 make_chunked_train_fn)
@@ -436,7 +440,15 @@ class Trainer:
             blur_controller=self.blur_controller,
             adaptive_controller=self.adaptive_controller,
             state_shardings=self._state_shardings)
-        data = jax.device_put(self.dataset.images)
+        if self.mesh is not None:
+            # Place the dataset replicated across the mesh ONCE — a committed
+            # single-device array would be silently re-broadcast every chunk.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = jax.device_put(self.dataset.images,
+                                  NamedSharding(self.mesh, P()))
+        else:
+            data = jax.device_put(self.dataset.images)
         if self.adaptive_controller is not None:
             ada = AdaptiveState.init(self.adaptive_controller)
             if self.ada_state is not None:  # restored host state carries over
@@ -521,12 +533,16 @@ class Trainer:
                 reals = (reals.astype(jnp.float32) - 127.5) / 127.5
             rng, k = jax.random.split(rng)
             # Always sample a full batch (a partial final batch may not divide
-            # the mesh's data axis) and slice down afterwards.
-            fakes = self.sample_fn(self.state,
-                                   self.gan.sample_latents(k, bs))
+            # the mesh's data axis) and slice down afterwards. Multi-host:
+            # only the local fake shard is addressable, so feed matched local
+            # counts of reals and fakes (num_samples then counts per-process
+            # pairs).
+            fakes_local = _local_shard(self.sample_fn(
+                self.state, self.gan.sample_latents(k, bs)))
+            k_n = min(take, fakes_local.shape[0])
             for m in metrics:
-                m.update_state(reals, _local_shard(fakes)[:take])
-            done += take
+                m.update_state(reals[:k_n], fakes_local[:k_n])
+            done += k_n
         out: Dict[str, float] = {}
         for m in metrics:
             if hasattr(m, "results"):

@@ -118,10 +118,15 @@ def main():
     print(f"[train_mnist] devices={n_dev} global_bs={hparams.global_batch_size} "
           f"dataset={dataset.name} total_examples={total_examples}")
     if args.device_resident:
-        max_chunks = (None if args.max_steps is None
-                      else max(args.max_steps // args.chunk_steps, 1))
+        # Honor --max_steps exactly: shrink the chunk if it is smaller than
+        # one chunk, then run whole chunks (progress quantises to chunks).
+        chunk_steps = args.chunk_steps
+        max_chunks = None
+        if args.max_steps is not None:
+            chunk_steps = min(chunk_steps, args.max_steps)
+            max_chunks = args.max_steps // chunk_steps
         trainer.fit_device_resident(total_examples=total_examples,
-                                    chunk_steps=args.chunk_steps,
+                                    chunk_steps=chunk_steps,
                                     max_chunks=max_chunks)
     else:
         trainer.fit(total_examples=total_examples, max_steps=args.max_steps)
