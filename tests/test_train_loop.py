@@ -187,3 +187,21 @@ class TestEvaluate:
                           metrics=[SWDMetric(nhoods_per_image=16)])
         assert "SWDx1e3_16" in out and "SWDx1e3_avg" in out
         assert np.isfinite(out["SWDx1e3_avg"])
+
+
+class TestCheckpointRetention:
+    def test_max_to_keep(self, tmp_path):
+        from blurred_gan_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(str(tmp_path / "ck"), max_to_keep=3,
+                                 keep_time_interval_hours=None)
+        state = {"w": jnp.arange(4.0)}
+        for step in range(100, 800, 100):
+            ckpt.save(step, state)
+        ckpt.wait_until_finished()
+        kept = sorted(int(d) for d in os.listdir(tmp_path / "ck")
+                      if d.isdigit())
+        assert kept == [500, 600, 700]
+        restored = ckpt.restore_latest(state)
+        assert restored is not None and restored[2] == 700
+        ckpt.close()
