@@ -155,3 +155,23 @@ class TestChunkedMesh:
                         jax.tree_util.tree_leaves(s8.d_params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=3e-4, atol=3e-5)
+
+
+class TestChunkedStopFreeze:
+    def test_steps_after_stop_are_noops(self, tmp_path):
+        # min_value just below max: the first decay triggers stop; the
+        # remaining steps of the chunk must not touch the state (matching a
+        # host loop that stops dispatching).
+        ada = AdaptiveBlurController(warmup_n_batches=0,
+                                     delay_between_modifications=1,
+                                     max_value=1.0, min_value=0.995)
+        tr = mk_trainer(tmp_path, "stop", adaptive_controller=ada)
+        state = tr.fit_device_resident(total_examples=10_000, chunk_steps=6,
+                                       max_chunks=5)
+        tr.close()
+        assert tr.ada_state.stop_training
+        # The first decay (at batch 1) pushes std below min_value; all later
+        # steps of the chunk must be frozen no-ops, so the batch counter
+        # stops exactly at the triggering step.
+        assert int(state.n_batches) == 1
+        assert tr.ada_state.last_modification_batch == 1
