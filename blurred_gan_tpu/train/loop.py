@@ -477,9 +477,9 @@ class Trainer:
                 self.state, ada, stacked = chunk_fn(
                     self.state, ada, data, idx, self._train_rng)
                 chunks_done += 1
-                self._n_batches_host += chunk_steps
-                self._n_img_host += chunk_steps * bs
 
+                arrs = {k: np.asarray(v) for k, v in stacked.items()}
+                executed = chunk_steps
                 if self.adaptive_controller is not None:
                     # Mirror the device controller back to the host BEFORE the
                     # hook replay, so a checkpoint hook firing mid-replay saves
@@ -492,9 +492,17 @@ class Trainer:
                         last_modification_batch=int(
                             ada.last_modification_batch),
                         stop_training=bool(ada.stop_training))
+                    if self.ada_state.stop_training:
+                        # Steps after the in-chunk stop were compiled no-ops:
+                        # count and replay only the executed prefix so host
+                        # counters stay equal to the frozen device counters.
+                        flags = arrs["stop_training"]
+                        executed = (int(flags.argmax()) + 1 if flags.any()
+                                    else chunk_steps)
+                self._n_batches_host += executed
+                self._n_img_host += executed * bs
 
-                arrs = {k: np.asarray(v) for k, v in stacked.items()}
-                for i in range(chunk_steps):
+                for i in range(executed):
                     logs = {k: float(v[i]) for k, v in arrs.items()}
                     self._current_sigma = logs.get("std", 0.0)
                     self.hooks.after_step(bs, logs)
