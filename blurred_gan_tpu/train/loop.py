@@ -173,6 +173,7 @@ class Trainer:
                 if config_sidecars.get("hparams") is not None else {})
 
         self._state_shardings = state_shardings
+        self._stop = False
         self._maybe_restore()
         # Host mirrors of the device counters: the dispatch path must never
         # read a device scalar (that blocks on the in-flight step and kills
@@ -182,7 +183,6 @@ class Trainer:
         self._n_img_host = int(self.state.n_img)
         self._build_hooks()
         self._last_metrics: Dict[str, float] = {}
-        self._stop = False
 
     # ------------------------------------------------------------------ setup
 
@@ -197,6 +197,12 @@ class Trainer:
         if self.adaptive_controller and "adaptive_blur" in aux:
             self.ada_state = self.adaptive_controller.state_from_dict(
                 aux["adaptive_blur"])
+            if self.ada_state.stop_training:
+                # A completed run stays completed on resume — otherwise a
+                # fit call would dispatch (no-op or σ<min) steps.
+                print("[trainer] restored a stop_training checkpoint - "
+                      "training is complete")
+                self._stop = True
         print(f"[trainer] restored checkpoint @ {step} examples "
               f"(n_batches={int(self.state.n_batches)})")
 

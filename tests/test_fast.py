@@ -178,3 +178,18 @@ class TestChunkedStopFreeze:
         assert int(state.n_batches) <= 2  # first stable EMA reading
         assert tr._n_batches_host == int(state.n_batches)
         assert tr.samples_seen == int(state.n_img)
+
+    def test_resume_of_stopped_run_stays_stopped(self, tmp_path):
+        ada = AdaptiveBlurController(warmup_n_batches=0,
+                                     delay_between_modifications=1,
+                                     max_value=1.0, min_value=0.995)
+        tr = mk_trainer(tmp_path, "stop2", adaptive_controller=ada)
+        tr.fit_device_resident(total_examples=10_000, chunk_steps=6,
+                               max_chunks=5)
+        n = tr._n_batches_host
+        tr.close()
+        tr2 = mk_trainer(tmp_path, "stop2", adaptive_controller=ada)
+        assert tr2._stop  # restored as complete
+        tr2.fit_device_resident(total_examples=10_000, chunk_steps=6)
+        assert tr2._n_batches_host == n  # no phantom chunks dispatched
+        tr2.close()
