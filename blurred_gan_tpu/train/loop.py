@@ -50,10 +50,14 @@ from blurred_gan_tpu.ops.blur import blur_images
 def _local_shard(x):
     """This process's slice of a (possibly multi-host) global array — host
     hooks (metric feeders, image summaries) operate on addressable data only;
-    single-process arrays pass through untouched."""
+    single-process arrays pass through untouched. Shards live on different
+    local devices, so they are assembled on host, ordered by their global
+    position."""
     if jax.process_count() > 1:
-        return jnp.concatenate(
-            [s.data for s in x.addressable_shards], axis=0)
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return jnp.asarray(np.concatenate(
+            [np.asarray(s.data) for s in shards], axis=0))
     return x
 
 
