@@ -51,13 +51,19 @@ def _local_shard(x):
     """This process's slice of a (possibly multi-host) global array — host
     hooks (metric feeders, image summaries) operate on addressable data only;
     single-process arrays pass through untouched. Shards live on different
-    local devices, so they are assembled on host, ordered by their global
-    position."""
+    local devices, so they are assembled on host (returned as numpy — every
+    consumer is host-side), ordered by global position, with replica
+    duplicates dropped (replicated arrays would otherwise stack copies)."""
     if jax.process_count() > 1:
-        shards = sorted(x.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
-        return jnp.asarray(np.concatenate(
-            [np.asarray(s.data) for s in shards], axis=0))
+        seen, parts = set(), []
+        for s in sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0):
+            key = str(s.index)
+            if key in seen:
+                continue
+            seen.add(key)
+            parts.append(np.asarray(s.data))
+        return np.concatenate(parts, axis=0)
     return x
 
 

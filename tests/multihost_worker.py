@@ -11,7 +11,8 @@ import sys
 
 port = sys.argv[1]
 proc_id = int(sys.argv[2])
-cache_dir = sys.argv[3]
+work_dir = sys.argv[3]
+cache_dir = work_dir + "/cache"
 
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -50,7 +51,7 @@ mesh = Mesh(np.array(jax.devices()), ("data",))
 tr = Trainer(
     gan, hp, synthetic_dataset((8, 8, 1), num_examples=64),
     trainer_config=TrainerConfig(
-        log_dir=f"/tmp/mh_test/p{proc_id}",
+        log_dir=f"{work_dir}/p{proc_id}",
         checkpoint_every_n_examples=10_000_000,
         sample_grid_every_n_examples=32,  # exercises the multi-host grid path
         image_summaries_interval_batches=0,

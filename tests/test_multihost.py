@@ -28,24 +28,28 @@ def _free_port() -> int:
                     reason="two concurrent JAX processes compiling on <4 "
                            "cores cannot meet Gloo's 30s collective "
                            "rendezvous; run on a multi-core host")
-@pytest.mark.timeout(560)
 def test_two_process_training(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    env["PYTHONPATH"] = "/root/repo"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
     procs = [
-        subprocess.Popen([sys.executable, worker, str(port), str(i),
-                          str(tmp_path / "cache")],
+        subprocess.Popen([sys.executable, worker, str(port), str(i), str(tmp_path)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env)
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{i} failed:\n{out[-3000:]}"
     combined = "\n".join(outs)
