@@ -109,6 +109,25 @@ class TestGraftEntry:
 
         g.dryrun_multichip(8)
 
+    def test_dryrun_self_provisions_in_subprocess(self, capsys):
+        """The driver calls dryrun_multichip with NO env setup (1 real chip,
+        no XLA_FLAGS) — the function must provision its own virtual CPU mesh
+        via subprocess re-exec and propagate the OK line (VERDICT r1 #1)."""
+        import __graft_entry__ as g
+
+        g._dryrun_in_subprocess(8)
+        out = capsys.readouterr().out
+        assert "dryrun_multichip(8) OK on mesh (data=4, model=2)" in out
+
+    def test_dryrun_subprocess_recursion_guard(self, monkeypatch):
+        """If the subprocess still lacks devices, fail loudly instead of
+        forking forever."""
+        import __graft_entry__ as g
+
+        monkeypatch.setenv(g._SUBPROCESS_MARKER, "1")
+        with pytest.raises(RuntimeError, match="provisioning failed"):
+            g.dryrun_multichip(16)  # > the 8 virtual devices we have
+
     def test_entry_signature(self):
         import __graft_entry__ as g
 
