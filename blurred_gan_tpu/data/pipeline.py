@@ -75,6 +75,12 @@ class ArrayDataset:
             # epochs and break the resume index math).
             order = order[:n - (n % shard_count)][shard_index::shard_count]
             m = len(order)
+            if drop_remainder and batch_size > m:
+                # Otherwise the stream yields nothing per epoch and a
+                # prefetching consumer blocks forever on an empty queue.
+                raise ValueError(
+                    f"batch_size {batch_size} exceeds this shard's {m} "
+                    f"examples (num_examples={n}, shard_count={shard_count})")
             end = m - (m % batch_size) if drop_remainder else m
             for i in range(first, end, batch_size):
                 yield self.images[order[i:i + batch_size]]
@@ -233,6 +239,10 @@ class ImageFolderDataset:
             order = np.random.RandomState(seed + epoch).permutation(n)
             order = order[:n - (n % shard_count)][shard_index::shard_count]
             m = len(order)
+            if drop_remainder and batch_size > m:
+                raise ValueError(
+                    f"batch_size {batch_size} exceeds this shard's {m} "
+                    f"examples (num_examples={n}, shard_count={shard_count})")
             end = m - (m % batch_size) if drop_remainder else m
             for i in range(first, end, batch_size):
                 idx = order[i:i + batch_size]

@@ -13,8 +13,8 @@
 //   bgt_decode_batch(paths, n, resolution, out, n_threads) -> 0 | first error
 //   bgt_gather_batch(src, indices, n, item_bytes, out, n_threads)
 //
-// Build: blurred_gan_tpu/native/build.py (g++ -O3 -fPIC -shared, links
-// libjpeg + libpng which ship in the image).
+// Build: blurred_gan_tpu/native/__init__.py compiles this on first import
+// (g++ -O3 -fPIC -shared, links libjpeg + libpng which ship in the image).
 
 #include <cstddef>
 #include <cstdio>

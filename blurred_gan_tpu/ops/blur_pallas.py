@@ -61,9 +61,25 @@ def _blur_plane_kernel(th_ref, tw_ref, x_ref, o_ref):
                        precision=jax.lax.Precision.HIGHEST)
 
 
+# Per-grid-step VMEM residency of the fused kernel: t_h (H²) + t_w (W²) +
+# the intermediate (H·W), plus the pipelined in/out plane blocks (2× H·W each
+# for double buffering), all f32. v5e cores have ~16 MB VMEM; 512² needs
+# ~7 MB (fits), 1024² ~28 MB (does not). Shapes are static at lowering time,
+# so the fallback decision compiles away.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # headroom under the ~16 MB ceiling
+
+
+def _kernel_vmem_bytes(h: int, w: int) -> int:
+    return 4 * (h * h + w * w + h * w + 2 * (2 * h * w))
+
+
 def _pallas_impl(planes, t_h, t_w):
     """planes: (P, H, W) f32; t_h: (H, H); t_w: (W, W) → (P, H, W)."""
     p, h, w = planes.shape
+    if _kernel_vmem_bytes(h, w) > _VMEM_BUDGET_BYTES:
+        # Beyond the VMEM ceiling (above ~768²): let XLA tile the two
+        # matmuls itself instead of overflowing the fused kernel's blocks.
+        return _einsum_impl(planes, t_h, t_w)
     return pl.pallas_call(
         _blur_plane_kernel,
         grid=(p,),

@@ -4,7 +4,8 @@ from blurred_gan_tpu.train.config import (
     WGANGPHyperParameters,
     BlurredWGANGPHyperParameters,
 )
-from blurred_gan_tpu.train.state import TrainState, GAN, create_train_state
+from blurred_gan_tpu.train.state import (TrainState, GAN, create_train_state,
+                                         wide_counter, wide_add, wide_value)
 from blurred_gan_tpu.train.step import make_train_step, make_sample_fn
 from blurred_gan_tpu.train.hooks import EveryNExamples, HookList
 from blurred_gan_tpu.train.checkpoint import (
@@ -42,6 +43,9 @@ __all__ = [
     "TrainState",
     "GAN",
     "create_train_state",
+    "wide_counter",
+    "wide_add",
+    "wide_value",
     "make_train_step",
     "make_sample_fn",
 ]

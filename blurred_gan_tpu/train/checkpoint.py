@@ -115,22 +115,49 @@ def load_sidecar(run_dir: str, cls, filename: str):
 
 
 @contextlib.contextmanager
-def save_on_interrupt(save_fn):
+def save_on_interrupt(save_fn, defer: bool = False):
     """Run a training block; on SIGINT/SIGTERM call ``save_fn()`` once, then
-    re-raise KeyboardInterrupt so the caller unwinds. Covers both Ctrl-C and the
-    SIGTERM that TPU spot/queued-resource preemption delivers."""
+    raise KeyboardInterrupt so the caller unwinds. Covers both Ctrl-C and the
+    SIGTERM that TPU spot/queued-resource preemption delivers.
+
+    ``defer=True`` closes the buffer-donation race: a signal landing between a
+    donating step dispatch and the train-state rebind would make an immediate
+    save serialise deleted buffers. In deferred mode the handler only records
+    the signal; the caller invokes the yielded ``check()`` at points where its
+    state is live, and ``check()`` then saves once and raises
+    KeyboardInterrupt. A second signal while one is pending escalates to an
+    immediate KeyboardInterrupt (escape hatch for a stuck step); the save is
+    still attempted but failures fall through to the re-raise (the advisory
+    fallback: never lose the unwind because the emergency save crashed).
+    """
     fired = {"done": False}
+    pending = {"sig": False}
+
+    def do_save():
+        if fired["done"]:
+            return
+        fired["done"] = True
+        try:
+            save_fn()
+        except BaseException as e:  # noqa: BLE001 — still unwind via KI below
+            print(f"[checkpoint] interrupt save failed: {e!r}")
 
     def handler(signum, frame):
-        if not fired["done"]:
-            fired["done"] = True
-            save_fn()
+        if defer and not pending["sig"]:
+            pending["sig"] = True
+            return
+        do_save()
         raise KeyboardInterrupt
+
+    def check():
+        if pending["sig"]:
+            do_save()
+            raise KeyboardInterrupt
 
     old_int = signal.signal(signal.SIGINT, handler)
     old_term = signal.signal(signal.SIGTERM, handler)
     try:
-        yield
+        yield check
     finally:
         signal.signal(signal.SIGINT, old_int)
         signal.signal(signal.SIGTERM, old_term)

@@ -22,6 +22,9 @@ class EveryNExamples:
 
     def __init__(self, n: int, fn: Callable[[int, Dict], None],
                  starting_from: int = 0, name: Optional[str] = None):
+        # A cadence <= 0 disables the hook (never fires) instead of dividing
+        # by zero on the first step — consistent with the 0-disables contract
+        # of image_summaries_interval_batches.
         self.period = int(n)
         self.fn = fn
         self.starting_from = int(starting_from)
@@ -32,7 +35,7 @@ class EveryNExamples:
     def after_step(self, batch_size: int, logs: Dict) -> bool:
         """Advance by one batch; returns True if the hook fired."""
         self.samples_seen += int(batch_size)
-        if self.samples_seen < self.starting_from:
+        if self.period <= 0 or self.samples_seen < self.starting_from:
             return False
         i = (self.samples_seen - self.starting_from) // self.period
         if i >= self.num_invocations:
@@ -46,7 +49,7 @@ class EveryNExamples:
         (the reference re-seeds ``samples_seen`` from ``model.n_img``,
         callbacks.py:253-254)."""
         self.samples_seen = int(samples_seen)
-        if self.samples_seen >= self.starting_from:
+        if self.period > 0 and self.samples_seen >= self.starting_from:
             self.num_invocations = (
                 (self.samples_seen - self.starting_from) // self.period + 1
             )

@@ -40,7 +40,8 @@ from blurred_gan_tpu.train.checkpoint import (
     save_sidecars,
 )
 from blurred_gan_tpu.train.hooks import EveryNExamples, HookList
-from blurred_gan_tpu.train.state import GAN, TrainState, create_train_state
+from blurred_gan_tpu.train.state import (GAN, TrainState, create_train_state,
+                                         wide_value)
 from blurred_gan_tpu.train.step import make_sample_fn, make_train_step
 from blurred_gan_tpu.utils.images import normalize_images, samples_grid
 from blurred_gan_tpu.utils.logging import MetricsLogger
@@ -155,7 +156,11 @@ class Trainer:
         image_shape = image_shape or dataset.image_shape
 
         os.makedirs(self.cfg.log_dir, exist_ok=True)
-        self.logger = MetricsLogger(self.cfg.log_dir)
+        # Multi-host with a shared log_dir: only process 0 writes scalars,
+        # images and PNGs (Orbax coordinates its own multi-host saves; the
+        # JSONL/TensorBoard/PNG sinks would interleave or duplicate).
+        self._is_main = jax.process_index() == 0
+        self.logger = MetricsLogger(self.cfg.log_dir, enabled=self._is_main)
         ckpt_dir = self.cfg.checkpoint_dir or os.path.join(
             self.cfg.log_dir, "checkpoints")
         self.ckpt = CheckpointManager(ckpt_dir)
@@ -176,7 +181,7 @@ class Trainer:
         # (callbacks.py:217-224).
         self.grid_latents = gan.sample_latents(grid_rng, 64)
 
-        if config_sidecars:
+        if config_sidecars and self._is_main:
             save_sidecars(self.cfg.log_dir, **config_sidecars)
             self.logger.hparams(
                 config_sidecars.get("hparams").asdict()
@@ -190,7 +195,7 @@ class Trainer:
         # async pipelining). By construction they always equal the device
         # values. Synced once here (and on restore).
         self._n_batches_host = int(self.state.n_batches)
-        self._n_img_host = int(self.state.n_img)
+        self._n_img_host = wide_value(self.state.n_img)
         self._build_hooks()
         self._last_metrics: Dict[str, float] = {}
 
@@ -218,15 +223,17 @@ class Trainer:
 
     def _build_hooks(self) -> None:
         self.hooks = HookList()
-        self.hooks.add(EveryNExamples(
-            self.cfg.log_metrics_every_n_examples, self._log_metrics,
-            name="log_metrics"))
-        self.hooks.add(EveryNExamples(
-            self.cfg.sample_grid_every_n_examples, self._sample_grid,
-            name="sample_grid"))
-        self.hooks.add(EveryNExamples(
-            self.cfg.checkpoint_every_n_examples, self._checkpoint,
-            name="checkpoint"))
+        # A 0 (or negative) cadence disables the hook, mirroring the
+        # image_summaries_interval_batches contract.
+        for n, fn, name in (
+                (self.cfg.log_metrics_every_n_examples, self._log_metrics,
+                 "log_metrics"),
+                (self.cfg.sample_grid_every_n_examples, self._sample_grid,
+                 "sample_grid"),
+                (self.cfg.checkpoint_every_n_examples, self._checkpoint,
+                 "checkpoint")):
+            if n > 0:
+                self.hooks.add(EveryNExamples(n, fn, name=name))
         for feeder in self.metric_feeders:
             self.hooks.add(feeder.hook)
         if self._restored_samples:
@@ -255,7 +262,7 @@ class Trainer:
             samples = blur_images(samples, jnp.float32(self._current_sigma))
         grid = samples_grid(normalize_images(np.asarray(samples)))
         self.logger.image(samples_seen, "samples_grid", grid)
-        if self.cfg.save_sample_pngs:
+        if self.cfg.save_sample_pngs and self._is_main:
             from PIL import Image
 
             Image.fromarray(grid).save(os.path.join(
@@ -272,9 +279,15 @@ class Trainer:
         fakes_np = np.asarray(fakes[:n])
         blurred = np.asarray(blur_images(jnp.asarray(fakes[:n]),
                                          jnp.float32(sigma)))
+        # Before/after pair on the real branch too — what the critic actually
+        # sees (gaussian_blur.py:145-148's paired summaries).
+        reals_blurred = np.asarray(blur_images(jnp.asarray(reals),
+                                               jnp.float32(sigma)))
         grid = (4, (n + 3) // 4)
         self.logger.image(step, "train/reals",
                           samples_grid(normalize_images(reals), grid))
+        self.logger.image(step, "train/reals_blurred",
+                          samples_grid(normalize_images(reals_blurred), grid))
         self.logger.image(step, "train/fakes",
                           samples_grid(normalize_images(fakes_np), grid))
         self.logger.image(step, "train/fakes_blurred",
@@ -314,6 +327,7 @@ class Trainer:
         local_bs = bs // n_proc
         steps_per_epoch = max(
             (self.dataset.num_examples // n_proc) // local_bs, 1)
+        self._steps_per_epoch = steps_per_epoch
         start_epoch = self._n_batches_host // steps_per_epoch
         start_batch = self._n_batches_host % steps_per_epoch
         pipe = DataPipeline(self.dataset, local_bs, seed=self.cfg.seed,
@@ -343,8 +357,12 @@ class Trainer:
         # price of the closed loop.
         pipeline_ahead = self.adaptive_controller is None
         pending = None
-        with save_on_interrupt(interrupt_save):
+        # defer=True: the handler only records the signal; check() saves at
+        # points where self.state is a live (non-donated) buffer set — a save
+        # during the step dispatch would serialise donated/deleted arrays.
+        with save_on_interrupt(interrupt_save, defer=True) as check_interrupt:
             for batch in pipe:
+                check_interrupt()
                 if self.samples_seen >= total_examples or self._stop:
                     break
                 if max_steps is not None and steps_done >= max_steps:
@@ -365,6 +383,7 @@ class Trainer:
                 steps_done += 1
                 self._n_batches_host += 1
                 self._n_img_host += device_batch.shape[0]
+                check_interrupt()  # self.state rebound — safe to save again
 
                 item = (batch, device_batch.shape[0], metrics, fakes, sigma,
                         self._n_batches_host, self._n_img_host)
@@ -413,6 +432,7 @@ class Trainer:
             self._image_summaries(batch, _local_shard(fakes), sigma)
 
         self.hooks.after_step(step_examples, logs)
+        self._maybe_log_epoch(n_batches, n_img, logs)
         reals_f = None
         for feeder in self.metric_feeders:
             if feeder.recording:
@@ -427,6 +447,16 @@ class Trainer:
                     pretty = {k2: round(v, 4) for k2, v in out.items()}
                     print(f"[metrics @ {n_img}] {pretty}")
         self._last_metrics = logs
+
+    def _maybe_log_epoch(self, n_batches: int, n_img: int, logs: Dict) -> None:
+        """``epoch_*`` scalars at each epoch boundary — the reference's
+        LogMetricsCallback writes both batch_* and epoch_* tiers
+        (callbacks.py:249-268); the epoch tier is the last batch's logs."""
+        spe = getattr(self, "_steps_per_epoch", 0)
+        if spe and n_batches % spe == 0:
+            epoch_logs = dict(logs)
+            epoch_logs["epoch"] = n_batches // spe
+            self.logger.scalars(n_img, epoch_logs, prefix="epoch_")
 
     def fit_device_resident(self, total_examples: int, chunk_steps: int = 50,
                             max_chunks: Optional[int] = None) -> TrainState:
@@ -451,6 +481,7 @@ class Trainer:
         assert jax.process_count() == 1, \
             "device-resident mode is single-host (multi-chip via mesh is fine)"
         bs = self.hparams.global_batch_size
+        self._steps_per_epoch = max(self.dataset.num_examples // bs, 1)
         chunk_fn = make_chunked_train_fn(
             self.gan, self.hparams, chunk_steps, mesh=self.mesh,
             blur_controller=self.blur_controller,
@@ -483,8 +514,9 @@ class Trainer:
             self.ckpt.wait_until_finished()
 
         chunks_done = 0
-        with save_on_interrupt(interrupt_save):
+        with save_on_interrupt(interrupt_save, defer=True) as check_interrupt:
             while self.samples_seen < total_examples and not self._stop:
+                check_interrupt()
                 if max_chunks is not None and chunks_done >= max_chunks:
                     break
                 idx = jnp.asarray(chunk_indices(
@@ -515,13 +547,18 @@ class Trainer:
                         flags = arrs["stop_training"]
                         executed = (int(flags.argmax()) + 1 if flags.any()
                                     else chunk_steps)
+                base_batches = self._n_batches_host
+                base_img = self._n_img_host
                 self._n_batches_host += executed
                 self._n_img_host += executed * bs
+                check_interrupt()  # state/counters consistent — safe to save
 
                 for i in range(executed):
                     logs = {k: float(v[i]) for k, v in arrs.items()}
                     self._current_sigma = logs.get("std", 0.0)
                     self.hooks.after_step(bs, logs)
+                    self._maybe_log_epoch(base_batches + i + 1,
+                                          base_img + (i + 1) * bs, logs)
                     self._last_metrics = logs
                 if (self.adaptive_controller is not None
                         and self.ada_state.stop_training):
@@ -547,22 +584,35 @@ class Trainer:
         if metrics is None:
             metrics = [SWDMetric(), FIDMetric()]
         bs = self.hparams.global_batch_size
+        n_proc = jax.process_count()
+        local_bs = bs // n_proc
         rng = jax.random.PRNGKey(seed)
-        it = self.dataset.batches(bs, seed=seed)
+        # Multi-host: each process reads ITS shard of the reals stream (same
+        # shard_index/shard_count as training) so local fakes pair with
+        # distinct local reals — num_samples then counts per-process pairs.
+        it = self.dataset.batches(local_bs, seed=seed,
+                                  shard_index=jax.process_index(),
+                                  shard_count=n_proc)
         done = 0
         while done < num_samples:
-            take = min(bs, num_samples - done)
+            take = min(local_bs, num_samples - done)
             reals = jnp.asarray(next(it)[:take])
             if reals.dtype == jnp.uint8:
                 reals = (reals.astype(jnp.float32) - 127.5) / 127.5
             rng, k = jax.random.split(rng)
             # Always sample a full batch (a partial final batch may not divide
             # the mesh's data axis) and slice down afterwards. Multi-host:
-            # only the local fake shard is addressable, so feed matched local
-            # counts of reals and fakes (num_samples then counts per-process
-            # pairs).
-            fakes_local = _local_shard(self.sample_fn(
-                self.state, self.gan.sample_latents(k, bs)))
+            # latents assemble into a global array (each process contributes
+            # its contiguous slice) and only the local fake shard comes back.
+            latents = self.gan.sample_latents(k, bs)
+            if n_proc > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                pi = jax.process_index()
+                latents = jax.make_array_from_process_local_data(
+                    NamedSharding(self.mesh, P("data")),
+                    np.asarray(latents)[pi * local_bs:(pi + 1) * local_bs])
+            fakes_local = _local_shard(self.sample_fn(self.state, latents))
             k_n = min(take, fakes_local.shape[0])
             for m in metrics:
                 m.update_state(reals[:k_n], fakes_local[:k_n])

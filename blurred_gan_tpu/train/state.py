@@ -17,9 +17,44 @@ import flax.linen as nn
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from blurred_gan_tpu.ops.blur import blur_images
+
+
+# ---------------------------------------------------------------------------
+# Overflow-safe example counter
+# ---------------------------------------------------------------------------
+#
+# JAX without x64 silently downcasts int64 to int32, so a scalar ``n_img``
+# would wrap at 2.15e9 images — ~54 h at the measured v5e rate (BASELINE.md),
+# corrupting the global step of a flagship-scale run. ``n_img`` is therefore a
+# (2,)-int32 [hi, lo] pair in base 2**30: exact far past 2**60 images.
+# ``n_batches`` stays a scalar int32 — it counts *steps* (wrap needs 2**31
+# steps ≈ 2.7e11 images at batch 128) and is consumed by scalar ops
+# (% d_steps_per_g_step, fold_in — whose uint32 data wraps at 2**32 anyway).
+
+_COUNTER_RADIX = 1 << 30
+
+
+def wide_counter(value: int = 0) -> jnp.ndarray:
+    """Encode a python int as the (2,)-int32 [hi, lo] device counter."""
+    return jnp.array([value >> 30, value & (_COUNTER_RADIX - 1)], jnp.int32)
+
+
+def wide_add(counter, k):
+    """counter + k for 0 <= k < 2**30 (any batch size), overflow-free:
+    lo < 2**30 and k < 2**30, so lo + k < 2**31 stays inside int32."""
+    lo = counter[1] + k
+    return jnp.stack([counter[0] + lo // _COUNTER_RADIX,
+                      lo % _COUNTER_RADIX])
+
+
+def wide_value(counter) -> int:
+    """Decode a [hi, lo] counter to a python int (host-side)."""
+    hi, lo = np.asarray(counter)
+    return (int(hi) << 30) + int(lo)
 
 
 @dataclass(frozen=True)
@@ -73,8 +108,10 @@ class TrainState(flax.struct.PyTreeNode):
     d_params: Any
     g_opt_state: Any
     d_opt_state: Any
-    n_img: jnp.ndarray       # images seen — the global step (wgan.py:100)
-    n_batches: jnp.ndarray
+    # Images seen — the global step (wgan.py:100). A (2,)-int32 [hi, lo]
+    # wide counter (base 2**30); decode with ``wide_value``.
+    n_img: jnp.ndarray
+    n_batches: jnp.ndarray   # scalar int32 step counter
 
 
 def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformation:
@@ -113,8 +150,8 @@ def create_train_state(gan: GAN, hparams, rng, image_shape) -> TrainState:
         d_params=d_params,
         g_opt_state=opt.init(g_params),
         d_opt_state=opt.init(d_params),
-        n_img=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
-        n_batches=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+        n_img=wide_counter(0),
+        n_batches=jnp.zeros((), jnp.int32),
     )
 
 

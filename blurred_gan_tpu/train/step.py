@@ -29,7 +29,8 @@ from blurred_gan_tpu.losses.wgan import (
     wgan_generator_loss,
     wgangp_discriminator_loss,
 )
-from blurred_gan_tpu.train.state import GAN, TrainState, make_optimizer
+from blurred_gan_tpu.train.state import GAN, TrainState, make_optimizer, \
+    wide_add
 
 
 def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
@@ -48,24 +49,26 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
     global_bs = float(hparams.global_batch_size)
     gp_coefficient = getattr(hparams, "gp_coefficient", None)
     e_drift = getattr(hparams, "e_drift", 0.0)
+    reference_grad_scale = getattr(hparams, "reference_grad_scale", False)
     use_gp = gp_coefficient is not None
 
-    def disc_loss_fn(d_params, reals, fakes, sigma, drop_f, drop_r, gp_rng):
+    def disc_loss_fn(d_params, reals, fakes, sigma, drop_rng, gp_rng):
         # One doubled-batch critic application instead of two: fewer kernel
         # sequences and better MXU utilisation. Valid because D has no
         # cross-sample ops (conv + leaky-relu + dropout only — dropout masks
-        # are per-element, so per-sample scores are identical to two calls up
-        # to the RNG stream). The reference's two separate calls are
+        # are per-element over the doubled batch, so fakes and reals each get
+        # independent masks and per-sample scores are identical to two calls
+        # up to the RNG stream). The reference's two separate calls are
         # wgan.py:136-137.
         scores = gan.critic(d_params, jnp.concatenate([fakes, reals], axis=0),
-                            sigma, train=True, rng=drop_f)
+                            sigma, train=True, rng=drop_rng)
         fake_scores, real_scores = jnp.split(scores, 2, axis=0)
         if use_gp:
             critic_eval = lambda x: gan.critic(d_params, x, sigma, train=False)
             loss, aux = wgangp_discriminator_loss(
                 critic_eval, reals, fakes, real_scores, fake_scores, gp_rng,
                 global_batch_size=global_bs, gp_coefficient=gp_coefficient,
-                e_drift=e_drift)
+                e_drift=e_drift, reference_grad_scale=reference_grad_scale)
         else:
             loss = wgan_discriminator_loss(real_scores, fake_scores, global_bs)
             aux = {"wgan_loss": loss,
@@ -86,13 +89,13 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
             reals = (reals.astype(jnp.float32) - 127.5) / 127.5
         batch = reals.shape[0]
         sigma = jnp.asarray(sigma, jnp.float32)
-        k_zd, k_df, k_dr, k_gp, k_zg = jax.random.split(rng, 5)
+        k_zd, k_drop, k_gp, k_zg = jax.random.split(rng, 4)
 
         # ---- discriminator step (wgan.py:132-151) ----
         z_d = gan.sample_latents(k_zd, batch)
         fakes, _ = gan.generate(state.g_params, state.g_stats, z_d, train=False)
         (d_loss, aux), d_grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(
-            state.d_params, reals, fakes, sigma, k_df, k_dr, k_gp)
+            state.d_params, reals, fakes, sigma, k_drop, k_gp)
         d_updates, d_opt_state = opt.update(d_grads, state.d_opt_state,
                                             state.d_params)
         d_params = jax.tree_util.tree_map(
@@ -122,7 +125,8 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
         new_state = state.replace(
             g_params=g_params, g_stats=g_stats, d_params=d_params,
             g_opt_state=g_opt_state, d_opt_state=d_opt_state,
-            n_img=state.n_img + batch, n_batches=state.n_batches + 1)
+            n_img=wide_add(state.n_img, batch),
+            n_batches=state.n_batches + 1)
 
         metrics = {
             "disc_loss": d_loss,

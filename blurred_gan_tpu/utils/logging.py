@@ -22,13 +22,17 @@ import numpy as np
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+    def __init__(self, log_dir: str, use_tensorboard: bool = True,
+                 enabled: bool = True):
+        """``enabled=False`` turns every write into a no-op — multi-host runs
+        gate non-process-0 loggers so a shared log_dir isn't interleaved."""
         os.makedirs(log_dir, exist_ok=True)
         self.log_dir = log_dir
-        self._jsonl = open(os.path.join(log_dir, "events.jsonl"), "a",
-                           buffering=1)
+        self.enabled = enabled
+        self._jsonl = (open(os.path.join(log_dir, "events.jsonl"), "a",
+                            buffering=1) if enabled else None)
         self._tb = None
-        if use_tensorboard:
+        if use_tensorboard and enabled:
             try:
                 from tensorboardX import SummaryWriter
 
@@ -38,6 +42,8 @@ class MetricsLogger:
 
     def scalars(self, step: int, values: Dict[str, float],
                 prefix: str = "") -> None:
+        if not self.enabled:
+            return
         clean = {}
         for k, v in values.items():
             try:
@@ -60,6 +66,8 @@ class MetricsLogger:
     def hparams(self, hparams: Dict) -> None:
         """Log run hyperparameters (the HParams-plugin capability,
         demo_mnist.py:194)."""
+        if not self.enabled:
+            return
         self._jsonl.write(json.dumps({"hparams": hparams}) + "\n")
         if self._tb is not None:
             try:
@@ -70,17 +78,21 @@ class MetricsLogger:
                 pass
 
     def text(self, step: int, tag: str, text: str) -> None:
+        if not self.enabled:
+            return
         self._jsonl.write(json.dumps({"step": int(step), tag: text}) + "\n")
         if self._tb is not None:
             self._tb.add_text(tag, text, int(step))
 
     def flush(self) -> None:
-        self._jsonl.flush()
+        if self._jsonl is not None:
+            self._jsonl.flush()
         if self._tb is not None:
             self._tb.flush()
 
     def close(self) -> None:
         self.flush()
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

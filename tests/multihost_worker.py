@@ -60,6 +60,12 @@ tr = Trainer(
     blur_controller=BlurDecayController(640, max_value=1.0))
 state = tr.fit(total_examples=10_000, max_steps=5)
 logs = tr._last_metrics
+# Multi-host evaluate(): each process pairs ITS reals shard with its local
+# fake shard (loop.py evaluate contract); a tiny FID exercises the path.
+from blurred_gan_tpu.metrics import FIDMetric
+
+ev = tr.evaluate(num_samples=8, metrics=[FIDMetric(feature_dim=16)])
+assert ev["FID"] >= 0.0, ev
 tr.close()
 if proc_id == 0:
     print(f"MH-RESULT n_batches={int(state.n_batches)} "

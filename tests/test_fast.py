@@ -16,6 +16,7 @@ from blurred_gan_tpu.train import (
     GAN,
     Trainer,
     TrainerConfig,
+    wide_value,
 )
 from blurred_gan_tpu.train.fast import (
     AdaptiveState,
@@ -177,7 +178,7 @@ class TestChunkedStopFreeze:
         assert int(state.n_batches) == tr.ada_state.last_modification_batch
         assert int(state.n_batches) <= 2  # first stable EMA reading
         assert tr._n_batches_host == int(state.n_batches)
-        assert tr.samples_seen == int(state.n_img)
+        assert tr.samples_seen == wide_value(state.n_img)
 
     def test_resume_of_stopped_run_stays_stopped(self, tmp_path):
         ada = AdaptiveBlurController(warmup_n_batches=0,

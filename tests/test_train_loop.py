@@ -21,6 +21,7 @@ from blurred_gan_tpu.train import (
     MetricFeeder,
     Trainer,
     TrainerConfig,
+    wide_value,
 )
 
 
@@ -70,7 +71,7 @@ class TestTrainingRun:
     def test_counters_advance(self, trained):
         tr, state, _ = trained
         assert int(state.n_batches) == 12
-        assert int(state.n_img) == 96
+        assert wide_value(state.n_img) == 96
 
     def test_losses_finite_and_logged(self, trained):
         tr, state, _ = trained
@@ -94,6 +95,31 @@ class TestTrainingRun:
     def test_checkpoint_written(self, trained):
         tr, _, _ = trained
         assert tr.ckpt.latest_step() == 96
+
+    def test_epoch_scalars_written(self, trained):
+        # 64 examples at bs 8 -> epoch boundary at step 8 of the 12-step run;
+        # the reference's LogMetricsCallback epoch_* tier (callbacks.py:262-268).
+        import json
+
+        tr, _, _ = trained
+        events = os.path.join(tr.cfg.log_dir, "events.jsonl")
+        recs = [json.loads(line) for line in open(events)]
+        epoch_recs = [r for r in recs if "epoch_disc_loss" in r]
+        assert epoch_recs and epoch_recs[0]["epoch_epoch"] == 1.0
+
+    def test_image_summaries_include_blur_pairs(self, trained):
+        # Before/after views on BOTH branches (gaussian_blur.py:145-148).
+        tr, _, _ = trained
+        tags = []
+        orig = tr.logger.image
+        tr.logger.image = lambda step, tag, img: tags.append(tag)
+        try:
+            x = np.zeros((4, 16, 16, 1), np.float32)
+            tr._image_summaries(x, x.copy(), 1.0)
+        finally:
+            tr.logger.image = orig
+        assert {"train/reals", "train/reals_blurred",
+                "train/fakes", "train/fakes_blurred"} <= set(tags)
 
 
 class TestCheckpointResume:

@@ -97,6 +97,8 @@ def main():
         trainer_config=TrainerConfig(
             log_dir=config.log_dir,
             checkpoint_dir=config.checkpoint_dir,
+            image_summaries_interval_batches=(
+                config.save_image_summaries_interval),
             seed=args.seed),
         mesh=make_mesh(),
         blur_controller=blur_ctrl,
