@@ -36,15 +36,21 @@ def wgan_generator_loss(fake_scores, global_batch_size):
     return -jnp.sum(fake_scores) / global_batch_size
 
 
-def gradient_penalty(critic_fn, reals, fakes, rng):
+def gradient_penalty(critic_fn, reals, fakes, rng, *, alpha=None):
     """WGAN-GP interpolation penalty (wgan.py:234-246).
 
     ``critic_fn`` maps a batch of images to per-sample scores and must already be in
     inference mode (dropout off) and, for blurred variants, include the blur.
     Returns a scalar; differentiable a second time by the outer loss gradient.
+
+    ``alpha`` optionally pins the per-sample interpolation coefficients
+    ((B,1,1,1)) instead of sampling them from ``rng`` — used by the
+    cross-framework gradient-parity tests, which must feed the reference's TF
+    implementation and this one the *same* interpolates.
     """
     batch = reals.shape[0]
-    a = jax.random.uniform(rng, (batch, 1, 1, 1), dtype=reals.dtype)
+    a = (jax.random.uniform(rng, (batch, 1, 1, 1), dtype=reals.dtype)
+         if alpha is None else jnp.asarray(alpha, reals.dtype))
     x_hat = reals + a * (fakes - reals)
 
     # Per-sample grads: scores are per-sample independent, so grad of the summed
@@ -57,10 +63,25 @@ def gradient_penalty(critic_fn, reals, fakes, rng):
 
 def wgangp_discriminator_loss(critic_fn_eval, reals, fakes, real_scores,
                               fake_scores, rng, *, global_batch_size,
-                              gp_coefficient=10.0, e_drift=1e-4):
-    """Full WGAN-GP critic loss (wgan.py:272-285). Returns (loss, aux dict)."""
+                              gp_coefficient=10.0, e_drift=1e-4,
+                              alpha=None, reference_grad_scale=False):
+    """Full WGAN-GP critic loss (wgan.py:272-285). Returns (loss, aux dict).
+
+    ``reference_grad_scale=True`` reproduces the reference's *gradient*
+    semantics exactly: its loss is an accidental (B,)-vector (the per-sample
+    drift broadcast, wgan.py:282-284) that TF's tape implicitly sums, so its
+    critic gradient is precisely B × this function's default gradient
+    (measured by tests/test_grad_parity.py). Since Σ = B·mean distributes
+    over all three terms, the compat mode is a single ×B on the loss. Adam is
+    invariant to constant gradient scaling (up to eps=1e-7 resolution), which
+    is why the default mean semantics train identically while logging the
+    same loss value as the reference's Mean metric.
+    """
     base = wgan_discriminator_loss(real_scores, fake_scores, global_batch_size)
-    gp_term = gp_coefficient * gradient_penalty(critic_fn_eval, reals, fakes, rng)
+    gp_term = gp_coefficient * gradient_penalty(critic_fn_eval, reals, fakes,
+                                                rng, alpha=alpha)
     norm_term = e_drift * jnp.mean(jnp.abs(fake_scores) + jnp.abs(real_scores))
     loss = base + gp_term + norm_term
+    if reference_grad_scale:
+        loss = loss * fake_scores.shape[0]
     return loss, {"wgan_loss": base, "gp_term": gp_term, "norm_term": norm_term}

@@ -35,10 +35,18 @@ class WGANHyperParameters(JsonSerializable, ParseableFromCommandLine):
 
 @dataclass
 class WGANGPHyperParameters(WGANHyperParameters):
-    """WGANGP.HyperParameters (wgan.py:255-261)."""
+    """WGANGP.HyperParameters (wgan.py:255-261).
+
+    ``reference_grad_scale``: reproduce the reference's accidental ×B critic
+    gradient (its (B,)-vector loss is implicitly summed by TF's tape,
+    wgan.py:282-284). Off by default — Adam makes the two gradients train
+    identically while the default logs the loss the reference's own Mean
+    metric shows; see losses/wgan.py and tests/test_grad_parity.py.
+    """
 
     e_drift: float = 1e-4
     gp_coefficient: float = 10.0
+    reference_grad_scale: bool = False
 
 
 @dataclass
