@@ -170,12 +170,14 @@ def blur_images(images, scale, *, precision=jax.lax.Precision.HIGHEST,
     /root/reference/gaussian_blur.py:50-80 (``blur_images``) including the sizing
     policy and zero-pad SAME borders.
 
-    ``impl``: "einsum" (XLA matmuls), "pallas" (fused single-kernel path,
-    ops/blur_pallas.py), or "auto" (pallas on TPU, einsum elsewhere).
+    ``impl``: "auto"/"pallas" route through the ``blur_planes`` primitive,
+    whose *lowering* is platform-split (the fused Pallas kernel on TPU, the
+    einsum formulation everywhere else) — keyed off the compilation platform
+    rather than a host-side backend-name check, so the dispatch decision and
+    the lowering can never disagree. "einsum" forces the plain-XLA einsum
+    path (the A/B baseline and a debugging escape hatch).
     """
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "einsum"
-    if impl == "pallas":
+    if impl in ("auto", "pallas"):
         from blurred_gan_tpu.ops.blur_pallas import blur_images_pallas
 
         return blur_images_pallas(images, scale)

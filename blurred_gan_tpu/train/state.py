@@ -71,6 +71,7 @@ class GAN:
     latent_size: int = 100
     blurred: bool = True
     remat_critic: bool = False  # rematerialise D in the GP double-backward
+    blur_impl: str = "auto"     # "auto"/"pallas" (fused primitive) | "einsum"
 
     def sample_latents(self, rng, batch: int):
         """Uniform [0, 1) latents (wgan.py:116-118)."""
@@ -85,7 +86,8 @@ class GAN:
 
     def critic(self, d_params, images, sigma, *, train: bool, rng=None):
         """Blur (if configured) then score. ``train`` toggles dropout."""
-        x = blur_images(images, sigma) if self.blurred else images
+        x = (blur_images(images, sigma, impl=self.blur_impl)
+             if self.blurred else images)
 
         def apply_fn(p, xx, r):
             # `train` is closed over (static) so jax.checkpoint never traces

@@ -49,6 +49,9 @@ def main():
     parser.add_argument("--max_blur_std", type=float, default=5.0,
                         help="sigma_0 (demo_celeba.py:226 uses 5)")
     parser.add_argument("--num_examples", type=int, default=None)
+    parser.add_argument("--inception_fid", action="store_true",
+                        help="score FID on the InceptionV3 pool3 trunk "
+                             "(local weights; see metrics/inception.py)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations (MXU-native)")
     parser.add_argument("--seed", type=int, default=0)
@@ -85,10 +88,15 @@ def main():
             total_n_training_examples=total_examples,
             max_value=args.max_blur_std)
 
+    fid_metric = FIDMetric()
+    if args.inception_fid:
+        from blurred_gan_tpu.metrics import inception_feature_fn
+
+        fid_metric = FIDMetric(feature_fn=inception_feature_fn())
     feeders = [
         MetricFeeder(SWDMetric(), every_n_examples=50_000, num_samples=1000,
                      name="swd"),
-        MetricFeeder(FIDMetric(), every_n_examples=50_000, num_samples=100,
+        MetricFeeder(fid_metric, every_n_examples=50_000, num_samples=100,
                      name="fid"),
     ]
 

@@ -57,6 +57,12 @@ def main():
     parser.add_argument("--adaptive", action="store_true",
                         help="use the closed-loop adaptive blur controller")
     parser.add_argument("--mnist_path", type=str, default=None)
+    parser.add_argument("--inception_fid", action="store_true",
+                        help="score FID on the InceptionV3 pool3 trunk "
+                             "(local weights via $INCEPTION_WEIGHTS or "
+                             "$DATASETS_DIR/inception_v3.npz; the reference's "
+                             "metric, demo_mnist.py:175) instead of the "
+                             "fixed-seed random-conv extractor")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--run_name", type=str, default=None,
                         help="create an auto-numbered results/NN-<name> run dir"
@@ -96,10 +102,15 @@ def main():
             total_n_training_examples=total_examples,
             max_value=hparams.initial_blur_std)
 
+    fid_metric = FIDMetric()
+    if args.inception_fid:
+        from blurred_gan_tpu.metrics import inception_feature_fn
+
+        fid_metric = FIDMetric(feature_fn=inception_feature_fn())
     feeders = [] if args.device_resident else [
         MetricFeeder(SWDMetric(), every_n_examples=50_000, num_samples=1000,
                      name="swd"),
-        MetricFeeder(FIDMetric(), every_n_examples=50_000, num_samples=100,
+        MetricFeeder(fid_metric, every_n_examples=50_000, num_samples=100,
                      name="fid"),
     ]
 
