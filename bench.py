@@ -46,13 +46,21 @@ def main():
     p.add_argument("--batch", type=int, default=None,
                    help="override batch size (default 32, the reference's; "
                         "b128 peaks at ~11.1k img/s on v5e — see BASELINE.md)")
+    p.add_argument("--resolution", type=int, default=None,
+                   help="override image resolution (default 128, the "
+                        "flagship config; 256 probes the headroom axis)")
+    p.add_argument("--blur_impl", type=str, default="auto",
+                   choices=["auto", "pallas", "einsum"],
+                   help="blur lowering inside the critic: the fused Pallas "
+                        "primitive (auto/pallas) or the plain-XLA einsum "
+                        "baseline — step-level A/B (ops/blur.py)")
     args = p.parse_args()
 
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
-        resolution, batch, steps = 128, args.batch or 32, 50
+        resolution, batch, steps = args.resolution or 128, args.batch or 32, 50
     else:  # CPU smoke: tiny but same code path
-        resolution, batch, steps = 32, args.batch or 8, 3
+        resolution, batch, steps = args.resolution or 32, args.batch or 8, 3
 
     from blurred_gan_tpu.models import celeba_discriminator, celeba_generator
     from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
@@ -63,7 +71,7 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     gan = GAN(celeba_generator(resolution, compute_dtype=dtype),
               celeba_discriminator(resolution, compute_dtype=dtype),
-              blurred=True)
+              blurred=True, blur_impl=args.blur_impl)
     state = create_train_state(gan, hp, jax.random.PRNGKey(0),
                                (resolution, resolution, 3))
     step = make_train_step(gan, hp, donate_state=False)
@@ -98,13 +106,40 @@ def main():
     dt = time.perf_counter() - t0
 
     images_per_sec = steps * batch / dt
+    ms_per_step = dt / steps * 1e3
+
+    # MFU: XLA's own flop count for ONE bare train step (cost analysis of a
+    # scanned program reports the loop body once, ignoring the trip count —
+    # measured: the 50-step scan and the bare step both report 128.26 GF at
+    # b32/128²) / measured step time / chip peak. v5e peak is 197 TFLOP/s
+    # bf16 (the step's matmul dtype on TPU); MFU is TPU-only.
+    flops_per_step = mfu = None
+    try:
+        cost = jax.jit(step).lower(
+            state2, reals2, jnp.float32(2.5),
+            jax.random.PRNGKey(3)).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+        if flops_per_step and on_tpu:
+            peak = 197e12  # TPU v5e bf16 peak FLOP/s
+            mfu = (flops_per_step / (dt / steps)) / peak
+    except Exception:
+        pass  # cost analysis is backend-dependent; throughput still stands
+
     denom = BASELINE_DENOM if on_tpu else None  # CPU smoke isn't the config
     out = {
         "metric": f"train_images_per_sec_celeba{resolution}_wgangp_blur",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": (round(images_per_sec / denom, 3) if denom else None),
+        "ms_per_step": round(ms_per_step, 3),
+        "batch": batch,
+        "flops_per_step": (round(flops_per_step) if flops_per_step else None),
+        "mfu_vs_bf16_peak": (round(mfu, 4) if mfu else None),
     }
+    if args.blur_impl != "auto":
+        out["blur_impl"] = args.blur_impl
     print(json.dumps(out))
 
 

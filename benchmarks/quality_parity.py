@@ -200,7 +200,7 @@ def evaluate(out: str, seeds, use_inception: bool) -> None:
         if r and o:
             gaps = {}
             for k in r:
-                if k.startswith(("swd", "fid")) and r[k]:
+                if k.lower().startswith(("swd", "fid")) and r[k]:
                     gaps[k] = round((o[k] - r[k]) / abs(r[k]), 4)
             print(json.dumps({"rel_gap_ours_vs_ref": gaps, "seed": seed}),
                   flush=True)

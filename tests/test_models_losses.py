@@ -200,6 +200,22 @@ class TestScaleUpStructure:
         d = celeba_discriminator(256)
         assert tuple(d.channels) == (16, 32, 64, 128, 256, 512)
 
+    def test_celeba512_structure_and_forward(self):
+        # 512 is the next headroom stop past 256: 8 G stages reach 4*2^7,
+        # D's six stride-2 stages land at 8x8 before the Dense head. The
+        # Pallas blur still fits VMEM at 512^2 (test_fixes_r2), so the whole
+        # blurred critic path stays on the fused kernel.
+        g = celeba_generator(512)
+        assert [s for _, s in g.blocks] == [1] + [2] * 7
+        d = celeba_discriminator(512)
+        assert tuple(d.channels) == (16, 32, 64, 128, 256, 512)
+        z = jnp.zeros((1, 100))
+        gv = g.init(jax.random.PRNGKey(0), z, train=False)
+        x = g.apply(gv, z, train=False)
+        assert x.shape == (1, 512, 512, 3)
+        dv = d.init(jax.random.PRNGKey(1), x, train=False)
+        assert d.apply(dv, x, train=False).shape == (1, 1)
+
     def test_remat_critic_step_runs(self):
         # remat_critic=True rematerializes D in the GP double-backward
         # (memory headroom for 256+); the step must stay numerically sane.
