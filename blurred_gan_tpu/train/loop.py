@@ -522,11 +522,15 @@ class Trainer:
                 idx = jnp.asarray(chunk_indices(
                     self.dataset.num_examples, bs, chunk_steps,
                     self._n_batches_host, self.cfg.seed))
-                self.state, ada, stacked = chunk_fn(
+                self.state, ada, stacked, packed = chunk_fn(
                     self.state, ada, data, idx, self._train_rng)
                 chunks_done += 1
 
-                arrs = {k: np.asarray(v) for k, v in stacked.items()}
+                # Single device->host transfer for ALL per-step metrics (the
+                # packed matrix); the dict's leaves are never fetched.
+                packed_np = np.asarray(packed)
+                arrs = {k: packed_np[:, j]
+                        for j, k in enumerate(sorted(stacked))}
                 executed = chunk_steps
                 if self.adaptive_controller is not None:
                     # Mirror the device controller back to the host BEFORE the

@@ -147,11 +147,17 @@ class TestChunkedMesh:
         # for the second call.
         state2 = create_train_state(gan, hp, jax.random.PRNGKey(0),
                                     (16, 16, 1))
-        s1, _, m1 = fn1(state, ada, data, idx, rng)
-        s8, _, m8 = fn8(state2, ada, data, idx, rng)
+        s1, _, m1, p1 = fn1(state, ada, data, idx, rng)
+        s8, _, m8, _ = fn8(state2, ada, data, idx, rng)
         np.testing.assert_allclose(np.asarray(m1["disc_loss"]),
                                    np.asarray(m8["disc_loss"]),
                                    rtol=3e-4, atol=3e-5)
+        # The packed matrix is the same data as the dict, key-sorted columns.
+        keys = sorted(m1)
+        assert np.asarray(p1).shape == (3, len(keys))
+        np.testing.assert_allclose(
+            np.asarray(p1)[:, keys.index("disc_loss")],
+            np.asarray(m1["disc_loss"]), rtol=1e-6)
         for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
                         jax.tree_util.tree_leaves(s8.d_params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
