@@ -39,6 +39,59 @@ import jax.numpy as jnp
 BASELINE_DENOM = 8.17
 
 
+def bench_chunked(gan, hp, batch, resolution, steps, on_tpu):
+    """End-to-end device-resident path: N chunks of ``steps`` train steps,
+    timed INCLUDING the per-chunk host work (index-matrix generation, the
+    single packed-metric fetch, state rebinding) — the number a real chunked
+    training run sustains, not just the device scan."""
+    import numpy as np
+
+    from blurred_gan_tpu.data.pipeline import synthetic_dataset
+    from blurred_gan_tpu.sched.blur import BlurDecayController
+    from blurred_gan_tpu.train import create_train_state
+    from blurred_gan_tpu.train.fast import (AdaptiveState, chunk_indices,
+                                            make_chunked_train_fn)
+
+    n_ex = 1024
+    ds = synthetic_dataset((resolution, resolution, 3), num_examples=n_ex)
+    state = create_train_state(gan, hp, jax.random.PRNGKey(0),
+                               (resolution, resolution, 3))
+    bc = BlurDecayController(10 ** 9, max_value=2.5)
+    chunk_fn = make_chunked_train_fn(gan, hp, steps, blur_controller=bc)
+    data = jax.device_put(ds.images)
+    ada = AdaptiveState(jnp.float32(0), jnp.float32(0.5), jnp.int32(0),
+                        jnp.bool_(False))
+    rng = jax.random.PRNGKey(1)
+
+    def one_chunk(state, ada, n_batches):
+        # Fresh idx every chunk (the stream position advances) — satisfies the
+        # distinct-inputs relay rule by construction.
+        idx = jnp.asarray(chunk_indices(n_ex, batch, steps, n_batches, seed=0))
+        state, ada, stacked, packed = chunk_fn(state, ada, data, idx, rng)
+        packed_np = np.asarray(packed)  # the single device->host fetch
+        return state, ada, packed_np, sorted(stacked)
+
+    state, ada, _, keys = one_chunk(state, ada, 0)  # compile + warmup
+    n_chunks = 5 if on_tpu else 1
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        state, ada, packed_np, keys = one_chunk(state, ada, (c + 1) * steps)
+    dt = time.perf_counter() - t0
+    total_steps = n_chunks * steps
+    out = {
+        "metric": f"train_images_per_sec_celeba{resolution}_wgangp_blur_chunked",
+        "value": round(total_steps * batch / dt, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": (round(total_steps * batch / dt / BASELINE_DENOM, 3)
+                        if on_tpu else None),
+        "ms_per_step": round(dt / total_steps * 1e3, 3),
+        "batch": batch,
+        "chunk_steps": steps,
+        "last_disc_loss": float(packed_np[-1, keys.index("disc_loss")]),
+    }
+    print(json.dumps(out))
+
+
 def main():
     import argparse
 
@@ -54,6 +107,12 @@ def main():
                    help="blur lowering inside the critic: the fused Pallas "
                         "primitive (auto/pallas) or the plain-XLA einsum "
                         "baseline — step-level A/B (ops/blur.py)")
+    p.add_argument("--chunked", action="store_true",
+                   help="measure the device-resident chunked path end-to-end "
+                        "(HBM-parked dataset, on-device gather+normalise, "
+                        "in-program sigma controller, packed metric fetch + "
+                        "host index generation per chunk) instead of the "
+                        "data-free scanned step")
     args = p.parse_args()
 
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -75,6 +134,10 @@ def main():
     state = create_train_state(gan, hp, jax.random.PRNGKey(0),
                                (resolution, resolution, 3))
     step = make_train_step(gan, hp, donate_state=False)
+
+    if args.chunked:
+        bench_chunked(gan, hp, batch, resolution, steps, on_tpu)
+        return
 
     rng = jax.random.PRNGKey(1)
     reals = jax.random.uniform(rng, (batch, resolution, resolution, 3),
