@@ -157,16 +157,23 @@ def main():
 
         return jax.lax.scan(body, state, jnp.arange(steps))
 
-    # Measurement rules (CLAUDE.md): block on the FULL output pytree, and the
-    # timed call must use different inputs from the warmup — remote runtimes
-    # may serve a repeat execution with identical arguments from cache.
+    # Measurement rules (CLAUDE.md): block on the FULL output pytree, and every
+    # timed call must use different inputs from every other call — remote
+    # runtimes may serve a repeat execution with identical arguments from
+    # cache. Take the best of 3 timed runs: transient relay/pool contention
+    # only ever makes a run SLOWER, so the minimum is the physical number
+    # (observed: a contended session measuring 2,518 img/s for a 4,100 img/s
+    # program).
     state2, losses = run(state, reals)  # compile + warmup
     jax.block_until_ready((state2, losses))
-    reals2 = reals * jnp.float32(0.999)
-    t0 = time.perf_counter()
-    state3, losses = run(state2, reals2)
-    jax.block_until_ready((state3, losses))
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for rep in range(3 if on_tpu else 1):
+        reals2 = reals * jnp.float32(0.999 - 1e-3 * rep)
+        t0 = time.perf_counter()
+        state3, losses = run(state2, reals2)
+        jax.block_until_ready((state3, losses))
+        dt = min(dt, time.perf_counter() - t0)
+        state2 = state3
 
     images_per_sec = steps * batch / dt
     ms_per_step = dt / steps * 1e3
