@@ -60,9 +60,15 @@ def _timed_run(fn, x, iters: int) -> float:
     _RUN_COUNTER[0] += 1
     jitter = 1.0 + 1e-4 * _RUN_COUNTER[0]
     t0 = time.perf_counter()
-    out = run(x * jitter, jnp.float32(2.5 * jitter))
+    # CHAIN the timed call on the warmup's output (the blurred batch has the
+    # input's shape): fresh uploaded values alone do not defeat the relay's
+    # execution cache — only arguments produced by a prior execution do.
+    out = run(out, jnp.float32(2.5 * jitter))
     jax.block_until_ready(out)
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    assert dt / iters > 1e-7, \
+        f"implausible {dt / iters * 1e6:.3f} us/blur — relay cache hit?"
+    return dt
 
 
 def time_impl(fn, name: str, resolution: int, batch: int,

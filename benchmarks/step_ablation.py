@@ -84,14 +84,21 @@ def time_variant(name: str, *, batch: int, resolution: int, steps: int,
             k, (batch, resolution, resolution, 3), jnp.float32, -1.0, 1.0)
         return reals, jax.random.PRNGKey(2000 + _CALL[0])
 
+    # Relay metrology (hard-won): fresh *values* are NOT enough — a repeat
+    # execution of the same program can be served from the relay's cache even
+    # with different uploaded inputs. The timed call must be CHAINED on the
+    # warmup's output buffers (state2 below), like bench.py, so the execution
+    # cannot be deduplicated.
     reals, key = fresh_inputs()
-    out = run(state, reals, key)   # compile + warmup
-    jax.block_until_ready(out)
+    state2, losses = run(state, reals, key)   # compile + warmup
+    jax.block_until_ready((state2, losses))
     reals, key = fresh_inputs()
     t0 = time.perf_counter()
-    out = run(state, reals, key)
+    out = run(state2, reals, key)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    assert dt / steps > 1e-5, \
+        f"implausible {dt / steps * 1e3:.4f} ms/step — relay cache hit?"
 
     row = {"variant": name, "batch": batch, "resolution": resolution,
            "steps": steps, "ms_per_step": round(dt / steps * 1e3, 3),
