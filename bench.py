@@ -164,14 +164,18 @@ def main():
     # only ever makes a run SLOWER, so the minimum is the physical number
     # (observed: a contended session measuring 2,518 img/s for a 4,100 img/s
     # program).
+    # Completion is forced by FETCHING a scalar from each run's output:
+    # block_until_ready can return instantly for a dispatched-but-unfinished
+    # chained execution on the relay (probed; CLAUDE.md). The one-element
+    # fetch adds ~1 RTT (~5% of a 400 ms run) identically to every rep.
     state2, losses = run(state, reals)  # compile + warmup
-    jax.block_until_ready((state2, losses))
+    float(losses[-1])
     dt = float("inf")
     for rep in range(3 if on_tpu else 1):
         reals2 = reals * jnp.float32(0.999 - 1e-3 * rep)
         t0 = time.perf_counter()
         state3, losses = run(state2, reals2)
-        jax.block_until_ready((state3, losses))
+        assert float(losses[-1]) == float(losses[-1])  # forces + awaits, NaN guard
         dt = min(dt, time.perf_counter() - t0)
         state2 = state3
 

@@ -56,18 +56,22 @@ def _timed_run(fn, x, iters: int) -> float:
     _RUN_COUNTER[0] += 1
     jitter = 1.0 + 1e-4 * _RUN_COUNTER[0]
     out = run(x * jitter, jnp.float32(2.5 * jitter))  # compile + warmup
-    jax.block_until_ready(out)
+    float(out[0, 0, 0, 0])
     _RUN_COUNTER[0] += 1
     jitter = 1.0 + 1e-4 * _RUN_COUNTER[0]
     t0 = time.perf_counter()
-    # CHAIN the timed call on the warmup's output (the blurred batch has the
-    # input's shape): fresh uploaded values alone do not defeat the relay's
-    # execution cache — only arguments produced by a prior execution do.
+    # Relay metrology (CLAUDE.md): CHAIN the timed call on the warmup's
+    # output (fresh uploaded values alone do not defeat the execution cache)
+    # and force+await completion by FETCHING a scalar from the result
+    # (block_until_ready can return instantly for an unfinished chained
+    # execution). The one-element fetch adds ~1 RTT; calibrate iters so the
+    # run dwarfs it.
     out = run(out, jnp.float32(2.5 * jitter))
-    jax.block_until_ready(out)
+    v = float(out[0, 0, 0, 0])
     dt = time.perf_counter() - t0
     assert dt / iters > 1e-7, \
         f"implausible {dt / iters * 1e6:.3f} us/blur — relay cache hit?"
+    assert v == v  # NaN guard: the chain must have really run
     return dt
 
 

@@ -84,21 +84,24 @@ def time_variant(name: str, *, batch: int, resolution: int, steps: int,
             k, (batch, resolution, resolution, 3), jnp.float32, -1.0, 1.0)
         return reals, jax.random.PRNGKey(2000 + _CALL[0])
 
-    # Relay metrology (hard-won): fresh *values* are NOT enough — a repeat
-    # execution of the same program can be served from the relay's cache even
-    # with different uploaded inputs. The timed call must be CHAINED on the
-    # warmup's output buffers (state2 below), like bench.py, so the execution
-    # cannot be deduplicated.
+    # Relay metrology (hard-won, see CLAUDE.md): block_until_ready can return
+    # instantly for a dispatched-but-unfinished execution, and fresh input
+    # *values* alone don't defeat the execution cache. So (a) the timed call
+    # is CHAINED on the warmup's output state, and (b) completion is forced
+    # by FETCHING a scalar from the output inside the timed region (adds one
+    # ~20 ms RTT to a ~400 ms measurement). A plausibility assert guards the
+    # result.
     reals, key = fresh_inputs()
     state2, losses = run(state, reals, key)   # compile + warmup
-    jax.block_until_ready((state2, losses))
+    float(losses[-1])
     reals, key = fresh_inputs()
     t0 = time.perf_counter()
-    out = run(state2, reals, key)
-    jax.block_until_ready(out)
+    st3, losses = run(state2, reals, key)
+    last_loss = float(losses[-1])             # forces + awaits execution
     dt = time.perf_counter() - t0
     assert dt / steps > 1e-5, \
         f"implausible {dt / steps * 1e3:.4f} ms/step — relay cache hit?"
+    assert np.isfinite(last_loss)
 
     row = {"variant": name, "batch": batch, "resolution": resolution,
            "steps": steps, "ms_per_step": round(dt / steps * 1e3, 3),
