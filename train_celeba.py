@@ -41,7 +41,7 @@ def main():
     BlurredWGANGPHyperParameters.add_arguments(parser)
     TrainingConfig.add_arguments(parser)
     parser.add_argument("--resolution", type=int, default=128,
-                        choices=[8, 16, 32, 64, 128, 256])
+                        choices=[8, 16, 32, 64, 128, 256, 512])
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--adaptive", action="store_true")
@@ -57,6 +57,13 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--run_name", type=str, default=None,
                         help="create an auto-numbered results/NN-<name> run dir")
+    parser.add_argument("--device_resident", action="store_true",
+                        help="park the dataset in HBM and scan many steps per"
+                             " dispatch (full device rate; needs a"
+                             " memory-resident dataset — CelebA-128 uint8 is"
+                             " ~9.5 GB; SWD/FID feeders disabled — use"
+                             " evaluate/generate offline)")
+    parser.add_argument("--chunk_steps", type=int, default=100)
     args = parser.parse_args()
 
     hparams = BlurredWGANGPHyperParameters.from_args(args)
@@ -93,7 +100,7 @@ def main():
         from blurred_gan_tpu.metrics import inception_feature_fn
 
         fid_metric = FIDMetric(feature_fn=inception_feature_fn())
-    feeders = [
+    feeders = [] if args.device_resident else [
         MetricFeeder(SWDMetric(), every_n_examples=50_000, num_samples=1000,
                      name="swd"),
         MetricFeeder(fid_metric, every_n_examples=50_000, num_samples=100,
@@ -116,7 +123,17 @@ def main():
     )
     print(f"[train_celeba] res={args.resolution} devices={n_dev} "
           f"global_bs={hparams.global_batch_size} dataset={dataset.name}")
-    trainer.fit(total_examples=total_examples, max_steps=args.max_steps)
+    if args.device_resident:
+        chunk_steps = args.chunk_steps
+        max_chunks = None
+        if args.max_steps is not None:
+            chunk_steps = min(chunk_steps, args.max_steps)
+            max_chunks = args.max_steps // chunk_steps
+        trainer.fit_device_resident(total_examples=total_examples,
+                                    chunk_steps=chunk_steps,
+                                    max_chunks=max_chunks)
+    else:
+        trainer.fit(total_examples=total_examples, max_steps=args.max_steps)
     trainer.close()
 
 
