@@ -164,19 +164,25 @@ def main():
     # only ever makes a run SLOWER, so the minimum is the physical number
     # (observed: a contended session measuring 2,518 img/s for a 4,100 img/s
     # program).
-    # Completion is forced by FETCHING a scalar from each run's output:
-    # block_until_ready can return instantly for a dispatched-but-unfinished
-    # chained execution on the relay (probed; CLAUDE.md). The one-element
-    # fetch adds ~1 RTT (~5% of a 400 ms run) identically to every rep.
+    # Completion is forced by FETCHING (np.asarray) the `losses` vector — a
+    # direct output buffer of the timed execution. block_until_ready can
+    # return instantly for an unfinished chained execution, and fetching a
+    # *slice* spawns a separate remote op that can be cache-served (probed;
+    # CLAUDE.md) — only a full fetch of the program's own output reliably
+    # awaits it. The (steps,)-float fetch adds ~1 RTT identically per rep.
+    import numpy as np
+
     state2, losses = run(state, reals)  # compile + warmup
-    float(losses[-1])
+    warm = np.asarray(losses)
     dt = float("inf")
     for rep in range(3 if on_tpu else 1):
         reals2 = reals * jnp.float32(0.999 - 1e-3 * rep)
         t0 = time.perf_counter()
         state3, losses = run(state2, reals2)
-        assert float(losses[-1]) == float(losses[-1])  # forces + awaits, NaN guard
+        vals = np.asarray(losses)  # forces + awaits the timed execution
         dt = min(dt, time.perf_counter() - t0)
+        assert np.isfinite(vals).all() and not np.array_equal(vals, warm), \
+            "timed run returned warmup's values — relay served a stale result"
         state2 = state3
 
     images_per_sec = steps * batch / dt

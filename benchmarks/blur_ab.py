@@ -51,27 +51,31 @@ def _timed_run(fn, x, iters: int) -> float:
             return y, ()
 
         out, _ = jax.lax.scan(body, x, jnp.arange(iters))
-        return out
+        # A tiny probe computed INSIDE the timed program: fetching it awaits
+        # this execution (fetching a post-hoc slice spawns a separate remote
+        # op the relay can cache-serve; CLAUDE.md).
+        return out, jnp.mean(out)
+
+    import numpy as np
 
     _RUN_COUNTER[0] += 1
     jitter = 1.0 + 1e-4 * _RUN_COUNTER[0]
-    out = run(x * jitter, jnp.float32(2.5 * jitter))  # compile + warmup
-    float(out[0, 0, 0, 0])
+    out, probe = run(x * jitter, jnp.float32(2.5 * jitter))  # compile + warmup
+    warm = float(np.asarray(probe))
     _RUN_COUNTER[0] += 1
     jitter = 1.0 + 1e-4 * _RUN_COUNTER[0]
     t0 = time.perf_counter()
     # Relay metrology (CLAUDE.md): CHAIN the timed call on the warmup's
     # output (fresh uploaded values alone do not defeat the execution cache)
-    # and force+await completion by FETCHING a scalar from the result
-    # (block_until_ready can return instantly for an unfinished chained
-    # execution). The one-element fetch adds ~1 RTT; calibrate iters so the
-    # run dwarfs it.
-    out = run(out, jnp.float32(2.5 * jitter))
-    v = float(out[0, 0, 0, 0])
+    # and force+await completion by fetching the probe — an output buffer of
+    # THE timed execution itself. One ~RTT; calibrate iters to dwarf it.
+    out, probe = run(out, jnp.float32(2.5 * jitter))
+    v = float(np.asarray(probe))
     dt = time.perf_counter() - t0
     assert dt / iters > 1e-7, \
         f"implausible {dt / iters * 1e6:.3f} us/blur — relay cache hit?"
-    assert v == v  # NaN guard: the chain must have really run
+    assert np.isfinite(v) and v != warm, \
+        "timed run returned warmup's probe — relay served a stale result"
     return dt
 
 

@@ -85,23 +85,25 @@ def time_variant(name: str, *, batch: int, resolution: int, steps: int,
         return reals, jax.random.PRNGKey(2000 + _CALL[0])
 
     # Relay metrology (hard-won, see CLAUDE.md): block_until_ready can return
-    # instantly for a dispatched-but-unfinished execution, and fresh input
-    # *values* alone don't defeat the execution cache. So (a) the timed call
-    # is CHAINED on the warmup's output state, and (b) completion is forced
-    # by FETCHING a scalar from the output inside the timed region (adds one
-    # ~20 ms RTT to a ~400 ms measurement). A plausibility assert guards the
-    # result.
+    # instantly for a dispatched-but-unfinished execution; fresh input
+    # *values* alone don't defeat the execution cache; and fetching a SLICE
+    # spawns a separate remote op that can itself be cache-served. So (a)
+    # the timed call is CHAINED on the warmup's output state, and (b)
+    # completion is forced by np.asarray of the full `losses` output buffer
+    # of the timed execution (one ~20 ms RTT), (c) values must differ from
+    # the warmup's.
     reals, key = fresh_inputs()
     state2, losses = run(state, reals, key)   # compile + warmup
-    float(losses[-1])
+    warm = np.asarray(losses)
     reals, key = fresh_inputs()
     t0 = time.perf_counter()
     st3, losses = run(state2, reals, key)
-    last_loss = float(losses[-1])             # forces + awaits execution
+    vals = np.asarray(losses)                 # forces + awaits execution
     dt = time.perf_counter() - t0
     assert dt / steps > 1e-5, \
         f"implausible {dt / steps * 1e3:.4f} ms/step — relay cache hit?"
-    assert np.isfinite(last_loss)
+    assert np.isfinite(vals).all() and not np.array_equal(vals, warm), \
+        "timed run returned warmup's values — relay served a stale result"
 
     row = {"variant": name, "batch": batch, "resolution": resolution,
            "steps": steps, "ms_per_step": round(dt / steps * 1e3, 3),
