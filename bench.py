@@ -83,7 +83,7 @@ def bench_chunked(gan, hp, batch, resolution, steps, on_tpu):
         "value": round(total_steps * batch / dt, 2),
         "unit": "images/sec/chip",
         "vs_baseline": (round(total_steps * batch / dt / BASELINE_DENOM, 3)
-                        if on_tpu else None),
+                        if on_tpu and resolution == 128 else None),
         "ms_per_step": round(dt / total_steps * 1e3, 3),
         "batch": batch,
         "chunk_steps": steps,
@@ -131,13 +131,16 @@ def main():
     gan = GAN(celeba_generator(resolution, compute_dtype=dtype),
               celeba_discriminator(resolution, compute_dtype=dtype),
               blurred=True, blur_impl=args.blur_impl)
+
+    if args.chunked:
+        # bench_chunked owns its state/step (the chunk program embeds the
+        # step); building them here too would double the device-side init.
+        bench_chunked(gan, hp, batch, resolution, steps, on_tpu)
+        return
+
     state = create_train_state(gan, hp, jax.random.PRNGKey(0),
                                (resolution, resolution, 3))
     step = make_train_step(gan, hp, donate_state=False)
-
-    if args.chunked:
-        bench_chunked(gan, hp, batch, resolution, steps, on_tpu)
-        return
 
     rng = jax.random.PRNGKey(1)
     reals = jax.random.uniform(rng, (batch, resolution, resolution, 3),
@@ -207,7 +210,9 @@ def main():
     except Exception:
         pass  # cost analysis is backend-dependent; throughput still stands
 
-    denom = BASELINE_DENOM if on_tpu else None  # CPU smoke isn't the config
+    # The denominator is the reference's CelebA-128 measurement; comparing a
+    # different resolution against it would be a meaningless ratio.
+    denom = BASELINE_DENOM if (on_tpu and resolution == 128) else None
     out = {
         "metric": f"train_images_per_sec_celeba{resolution}_wgangp_blur",
         "value": round(images_per_sec, 2),

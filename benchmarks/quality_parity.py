@@ -200,7 +200,11 @@ def evaluate(out: str, seeds, use_inception: bool) -> None:
         if r and o:
             gaps = {}
             for k in r:
-                if k.lower().startswith(("swd", "fid")) and r[k]:
+                if not k.lower().startswith(("swd", "fid")):
+                    continue
+                if r[k] == 0:  # rounded-to-zero reference: gap undefined
+                    gaps[k] = f"ref=0 (ours abs {o[k]})"
+                else:
                     gaps[k] = round((o[k] - r[k]) / abs(r[k]), 4)
             print(json.dumps({"rel_gap_ours_vs_ref": gaps, "seed": seed}),
                   flush=True)

@@ -21,11 +21,16 @@ module's canonical scopes (torchvision-style block/branch names, see
     <scope>/var    (cout,)              BN moving variance
 
 e.g. ``Conv2d_1a_3x3/w`` or ``Mixed_6b/branch7x7_2/beta``. Converting a public
-checkpoint offline is mechanical: torchvision's ``inception_v3`` modules map
-1:1 onto these scopes (transpose OIHW→HWIO); TF-slim's
-``InceptionV3/<scope>/weights`` + ``BatchNorm/{beta,moving_mean,
-moving_variance}`` map the same way (mind slim's Mixed_5c ``Conv2d_0b_1x1`` /
-``Conv_1_0c_5x5`` naming quirk in Branch_1). Without a weights file,
+checkpoint offline: torchvision's ``inception_v3`` modules map 1:1 onto these
+scopes (transpose OIHW→HWIO) — but note torchvision's BatchNorm2d carries a
+learned scale γ this layout has no slot for (TF-slim's inception BN is
+``scale=False``, which is what this trunk implements). Fold it in first — BN
+is ``γ·(conv(x)−μ)/σ + β`` and conv is linear per output channel, so storing
+``w[..., c] *= γ_c`` and ``mean_c *= γ_c`` (``var``/``beta`` unchanged)
+reproduces the γ-scaled network exactly. TF-slim checkpoints
+(``InceptionV3/<scope>/weights`` + ``BatchNorm/{beta,moving_mean,
+moving_variance}``) need no folding (no γ); mind slim's Mixed_5c
+``Conv2d_0b_1x1`` / ``Conv_1_0c_5x5`` naming quirk in Branch_1. Without a weights file,
 ``random_inception_params`` gives a fixed-seed random-weight trunk — the
 architecture is then still exercised end-to-end (and random-feature FID is a
 deterministic, documented fallback), but numbers are NOT comparable to

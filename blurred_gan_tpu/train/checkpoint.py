@@ -68,12 +68,42 @@ class CheckpointManager:
         if step is None:
             return None
         has_aux = "aux" in self._item_names(step)
-        args = {"state": ocp.args.StandardRestore(state_template)}
-        if has_aux:
-            args["aux"] = ocp.args.JsonRestore()
-        restored = self._mngr.restore(step, args=ocp.args.Composite(**args))
+
+        def _restore(template):
+            args = {"state": ocp.args.StandardRestore(template)}
+            if has_aux:
+                args["aux"] = ocp.args.JsonRestore()
+            return self._mngr.restore(step, args=ocp.args.Composite(**args))
+
+        try:
+            restored = _restore(state_template)
+            state = restored["state"]
+        except Exception:
+            # Legacy checkpoints (pre-0.3) stored n_img as a scalar int32;
+            # the template now expects the (2,)-int32 wide counter. Retry
+            # with a scalar-n_img template and widen on the way in.
+            legacy = self._legacy_counter_template(state_template)
+            if legacy is None:
+                raise
+            restored = _restore(legacy)
+            from blurred_gan_tpu.train.state import wide_counter
+
+            state = restored["state"].replace(
+                n_img=wide_counter(int(restored["state"].n_img)))
+            print("[checkpoint] migrated legacy scalar n_img counter to the "
+                  "wide (2,)-int32 form")
         aux = dict(restored.get("aux") or {}) if has_aux else {}
-        return restored["state"], aux, step
+        return state, aux, step
+
+    @staticmethod
+    def _legacy_counter_template(state_template):
+        """state_template with a scalar-int32 ``n_img`` (pre-0.3 layout), or
+        None if the template has no such field."""
+        import jax.numpy as jnp
+
+        if not hasattr(state_template, "n_img"):
+            return None
+        return state_template.replace(n_img=jnp.int32(0))
 
     def _item_names(self, step: int):
         d = os.path.join(self.directory, str(step))
@@ -158,6 +188,10 @@ def save_on_interrupt(save_fn, defer: bool = False):
     old_term = signal.signal(signal.SIGTERM, handler)
     try:
         yield check
+        # A deferred signal that landed after the caller's LAST check (e.g.
+        # during the final save/flush) must still be acted on — otherwise it
+        # would be recorded and silently swallowed when handlers restore.
+        check()
     finally:
         signal.signal(signal.SIGINT, old_int)
         signal.signal(signal.SIGTERM, old_term)

@@ -274,8 +274,9 @@ class Trainer:
         (wgan.py:209-223, gaussian_blur.py:145-148 capability)."""
         n = min(16, fakes.shape[0])
         step = self.samples_seen
+        was_uint8 = np.asarray(reals).dtype == np.uint8
         reals = np.asarray(reals[:n], np.float32)
-        if reals.max() > 1.5:  # uint8 batch
+        if was_uint8:  # pipeline batches are uint8; normalise like the step
             reals = (reals - 127.5) / 127.5
         fakes_np = np.asarray(fakes[:n])
         blurred = np.asarray(blur_images(jnp.asarray(fakes[:n]),

@@ -183,3 +183,56 @@ class TestPallasVmemGate:
         b = blur_images_pallas(x, sigma)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestLegacyCheckpointMigration:
+    def test_scalar_n_img_checkpoint_restores_into_wide_template(self, tmp_path):
+        """Pre-0.3 checkpoints stored n_img as a scalar int32; restoring into
+        the wide-counter template must migrate instead of crashing."""
+        from blurred_gan_tpu.models import DCGANDiscriminator, DCGANGenerator
+        from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
+                                           create_train_state)
+        from blurred_gan_tpu.train.checkpoint import CheckpointManager
+
+        hp = BlurredWGANGPHyperParameters(batch_size=2, global_batch_size=2)
+        gan = GAN(DCGANGenerator(latent_size=8, init_hw=(4, 4),
+                                 init_features=8, blocks=((8, 2),),
+                                 out_channels=1, final_transpose=False,
+                                 final_stride=1),
+                  DCGANDiscriminator(channels=(8,)), latent_size=8,
+                  blurred=True)
+        state = create_train_state(gan, hp, jax.random.PRNGKey(0), (8, 8, 1))
+        legacy = state.replace(n_img=jnp.int32(12345),
+                               n_batches=jnp.int32(77))
+        mngr = CheckpointManager(str(tmp_path / "ckpt"))
+        mngr.save(12345, legacy)
+        mngr.wait_until_finished()
+
+        restored, aux, step = mngr.restore_latest(state)  # wide template
+        assert step == 12345
+        assert restored.n_img.shape == (2,)
+        assert wide_value(restored.n_img) == 12345
+        assert int(restored.n_batches) == 77
+        mngr.close()
+
+    def test_wide_checkpoint_still_restores_directly(self, tmp_path):
+        from blurred_gan_tpu.models import DCGANDiscriminator, DCGANGenerator
+        from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
+                                           create_train_state)
+        from blurred_gan_tpu.train.checkpoint import CheckpointManager
+
+        hp = BlurredWGANGPHyperParameters(batch_size=2, global_batch_size=2)
+        gan = GAN(DCGANGenerator(latent_size=8, init_hw=(4, 4),
+                                 init_features=8, blocks=((8, 2),),
+                                 out_channels=1, final_transpose=False,
+                                 final_stride=1),
+                  DCGANDiscriminator(channels=(8,)), latent_size=8,
+                  blurred=True)
+        state = create_train_state(gan, hp, jax.random.PRNGKey(0), (8, 8, 1))
+        wide = state.replace(n_img=wide_counter(2**31 + 5))
+        mngr = CheckpointManager(str(tmp_path / "ckpt"))
+        mngr.save(7, wide)
+        mngr.wait_until_finished()
+        restored, _, _ = mngr.restore_latest(state)
+        assert wide_value(restored.n_img) == 2**31 + 5
+        mngr.close()

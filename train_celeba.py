@@ -124,11 +124,17 @@ def main():
     print(f"[train_celeba] res={args.resolution} devices={n_dev} "
           f"global_bs={hparams.global_batch_size} dataset={dataset.name}")
     if args.device_resident:
+        # Quantised to whole chunks, rounded UP so at least max_steps run
+        # (floor would silently drop the remainder; see train_mnist.py).
         chunk_steps = args.chunk_steps
         max_chunks = None
         if args.max_steps is not None:
             chunk_steps = min(chunk_steps, args.max_steps)
-            max_chunks = args.max_steps // chunk_steps
+            max_chunks = -(-args.max_steps // chunk_steps)
+            if args.max_steps % chunk_steps:
+                print(f"[train_celeba] --max_steps {args.max_steps} rounds up "
+                      f"to {max_chunks * chunk_steps} (whole chunks of "
+                      f"{chunk_steps})")
         trainer.fit_device_resident(total_examples=total_examples,
                                     chunk_steps=chunk_steps,
                                     max_chunks=max_chunks)

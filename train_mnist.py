@@ -131,13 +131,19 @@ def main():
     print(f"[train_mnist] devices={n_dev} global_bs={hparams.global_batch_size} "
           f"dataset={dataset.name} total_examples={total_examples}")
     if args.device_resident:
-        # Honor --max_steps exactly: shrink the chunk if it is smaller than
-        # one chunk, then run whole chunks (progress quantises to chunks).
+        # Progress quantises to whole chunks: shrink the chunk if --max_steps
+        # is smaller than one, and round the chunk count UP so at least
+        # max_steps run (a floor would silently drop the remainder — e.g.
+        # 150 steps at chunk 100 would run only 100).
         chunk_steps = args.chunk_steps
         max_chunks = None
         if args.max_steps is not None:
             chunk_steps = min(chunk_steps, args.max_steps)
-            max_chunks = args.max_steps // chunk_steps
+            max_chunks = -(-args.max_steps // chunk_steps)
+            if args.max_steps % chunk_steps:
+                print(f"[train_mnist] --max_steps {args.max_steps} rounds up "
+                      f"to {max_chunks * chunk_steps} (whole chunks of "
+                      f"{chunk_steps})")
         trainer.fit_device_resident(total_examples=total_examples,
                                     chunk_steps=chunk_steps,
                                     max_chunks=max_chunks)
