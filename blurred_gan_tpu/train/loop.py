@@ -362,8 +362,32 @@ class Trainer:
         # defer=True: the handler only records the signal; check() saves at
         # points where self.state is a live (non-donated) buffer set — a save
         # during the step dispatch would serialise donated/deleted arrays.
+        def to_device(batch):
+            if batch_sharding is not None:
+                return jax.make_array_from_process_local_data(
+                    batch_sharding, np.ascontiguousarray(batch))
+            return jax.device_put(batch)
+
+        def device_stream():
+            """One-batch-ahead host→device upload: ``device_put`` of batch
+            N+1 is issued while step N runs, so the transfer (1.5 MB/batch at
+            CelebA-128 — ~60 ms through a dev tunnel, the host-loop
+            bottleneck there) overlaps device compute instead of serialising
+            with it. Order of yields is unchanged, so resume stream position
+            and RNG folding are untouched."""
+            it = iter(pipe)
+            try:
+                first = next(it)
+            except StopIteration:
+                return
+            nxt = (first, to_device(first))
+            for batch in it:
+                cur, nxt = nxt, (batch, to_device(batch))
+                yield cur
+            yield nxt
+
         with save_on_interrupt(interrupt_save, defer=True) as check_interrupt:
-            for batch in pipe:
+            for batch, device_batch in device_stream():
                 check_interrupt()
                 if self.samples_seen >= total_examples or self._stop:
                     break
@@ -375,11 +399,6 @@ class Trainer:
                 # resume). Host-mirror counters keep this free of device
                 # syncs.
                 k = jax.random.fold_in(self._train_rng, self._n_batches_host)
-                if batch_sharding is not None:
-                    device_batch = jax.make_array_from_process_local_data(
-                        batch_sharding, np.ascontiguousarray(batch))
-                else:
-                    device_batch = jnp.asarray(batch)
                 self.state, metrics, fakes = self.step_fn(
                     self.state, device_batch, jnp.float32(sigma), k)
                 steps_done += 1
