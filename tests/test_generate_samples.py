@@ -1,0 +1,56 @@
+"""End-to-end test of the generate_samples.py inference CLI: checkpoint a
+state, restore via the CLI, write a PNG grid (post-training sampling
+capability, /root/reference/demo_mnist.py:210-219 and demo_celeba.py:236-245 —
+minus the reference's 28x28-reshape crash bug at CelebA, SURVEY.md §2)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+
+
+class TestGenerateSamplesCLI:
+    def test_mnist_checkpoint_to_png(self, tmp_path, monkeypatch):
+        from blurred_gan_tpu.models import mnist_discriminator, mnist_generator
+        from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
+                                           CheckpointManager,
+                                           create_train_state)
+
+        gan = GAN(mnist_generator(), mnist_discriminator(), blurred=True)
+        hp = BlurredWGANGPHyperParameters()
+        state = create_train_state(gan, hp, jax.random.PRNGKey(3), (28, 28, 1))
+        mngr = CheckpointManager(str(tmp_path / "checkpoints"))
+        mngr.save(256, state)
+        mngr.wait_until_finished()
+        mngr.close()
+
+        out = tmp_path / "samples.png"
+        monkeypatch.setattr(sys, "argv", [
+            "generate_samples.py", "--log_dir", str(tmp_path),
+            "--dataset", "mnist", "--n", "4", "--out", str(out),
+            "--blur_std", "1.5"])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        import generate_samples
+
+        generate_samples.main()
+        assert out.exists() and out.stat().st_size > 0
+        from PIL import Image
+
+        img = np.asarray(Image.open(out))
+        assert img.shape[0] >= 28 and img.shape[1] >= 28
+
+    def test_missing_checkpoint_exits_loudly(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(sys, "argv", [
+            "generate_samples.py", "--log_dir", str(tmp_path),
+            "--dataset", "mnist", "--n", "4"])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        import generate_samples
+
+        with pytest.raises(SystemExit):
+            generate_samples.main()
