@@ -38,6 +38,27 @@ import jax.numpy as jnp
 # reference TF CelebA-128 b32 on CPU. See BASELINE.md.
 BASELINE_DENOM = 8.17
 
+# Peak dense bf16 FLOP/s per chip by TPU generation, keyed on
+# jax.devices()[0].device_kind substrings (public spec-sheet numbers). MFU is
+# computed against the matching entry; unknown kinds report no MFU rather
+# than a wrong one.
+_BF16_PEAK_BY_KIND = [
+    ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v5p", 459e12), ("v5", 459e12),  # bare "v5" after the lite variants
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+]
+
+
+def _bf16_peak(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _BF16_PEAK_BY_KIND:
+        if sub in kind:
+            return peak
+    return None
+
 
 def bench_chunked(gan, hp, batch, resolution, steps, on_tpu):
     """End-to-end device-resident path: N chunks of ``steps`` train steps,
@@ -205,8 +226,9 @@ def main():
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0)) or None
         if flops_per_step and on_tpu:
-            peak = 197e12  # TPU v5e bf16 peak FLOP/s
-            mfu = (flops_per_step / (dt / steps)) / peak
+            peak = _bf16_peak(jax.devices()[0])  # per device generation
+            if peak:
+                mfu = (flops_per_step / (dt / steps)) / peak
     except Exception:
         pass  # cost analysis is backend-dependent; throughput still stands
 

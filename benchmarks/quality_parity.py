@@ -5,20 +5,31 @@ BASELINE.json north-star "SWD & FID within 5%" measurement).
 Three subcommands, designed to run independently (the reference's CPU training
 is the long pole and runs in the background):
 
-    python benchmarks/quality_parity.py train_ref  --examples 60000 --out /tmp/qp
-    python benchmarks/quality_parity.py train_ours --examples 60000 --out /tmp/qp
-    python benchmarks/quality_parity.py evaluate   --out /tmp/qp [--seeds 0,1]
+    python benchmarks/quality_parity.py train_ref  --config mnist --examples 60000 --out /tmp/qp
+    python benchmarks/quality_parity.py train_ours --config mnist --examples 60000 --out /tmp/qp
+    python benchmarks/quality_parity.py evaluate   --config mnist --out /tmp/qp [--seeds 0,1]
 
-``train_ref`` trains the reference BlurredWGANGP (MNIST-28 demo config,
-/root/reference/demo_mnist.py:91-219 semantics) on the SAME deterministic
-synthetic corpus the framework's MNIST demo falls back to (no egress in this
+``--config`` selects the head-to-head surface (round-2 VERDICT #1: the
+original harness hard-coded MNIST-28; the reference's flagship is CelebA):
+
+- ``mnist``    — the MNIST-28 demo config (/root/reference/demo_mnist.py:91-219):
+  28×28×1, σ₀ = initial_blur_std = 0.05 (demo_mnist.py:199), 60k-example corpus.
+- ``celeba64`` — the CelebA demo config at 64² (the largest resolution whose
+  reference-side CPU training is background-feasible; 128² runs at ~8 img/s
+  here — BASELINE.md — so 60k examples would take >2h/seed): the CelebA
+  architectures with one fewer stage per side (exactly this repo's model zoo
+  at resolution=64), σ₀ = 5 exactly as the CelebA demo hard-codes it
+  (/root/reference/demo_celeba.py:226), 20k-example 64×64×3 corpus (matching
+  the synthetic-CelebA fallback cap; 60k examples = 3 corpus epochs).
+
+``train_ref`` trains the reference BlurredWGANGP on the SAME deterministic
+synthetic corpus the framework's demos fall back to (no egress in this
 container), driving its blur σ with the same open-loop schedule both demos
-use (max_value = initial_blur_std, demo_mnist.py:199). ``train_ours`` trains
-this framework's MNIST config identically. ``evaluate`` scores each model's
-1000 generated samples against the same 1000 held-out-order reals with the
-SAME metric implementations (our SWD + our streaming FID with the shared
-fixed-seed extractor), plus a reals-vs-reals floor, and prints one JSON line
-per row.
+use. ``train_ours`` trains this framework's matching config identically.
+``evaluate`` scores each model's 1000 generated samples against the same 1000
+held-out-order reals with the SAME metric implementations (our SWD + our
+streaming FID with the shared fixed-seed extractor), plus a reals-vs-reals
+floor, and prints one JSON line per row.
 
 Both trainings use their framework's OWN RNG streams (TF vs JAX), so parity
 is statistical, not bitwise: run multiple seeds (--seed) for error bars.
@@ -28,6 +39,7 @@ Results are recorded in BASELINE.md.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -37,27 +49,51 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
-IMAGE_SHAPE = (28, 28, 1)
-CORPUS_N = 60_000  # reference MNIST demo trains on 60k examples/epoch
 BATCH = 32
 LATENT = 100
 N_EVAL = 1000
 
 
-def _corpus():
+@dataclasses.dataclass(frozen=True)
+class ParityConfig:
+    name: str
+    image_shape: tuple
+    corpus_n: int
+    sigma0: float  # BlurDecayController max_value for this demo config
+
+
+CONFIGS = {
+    "mnist": ParityConfig("mnist", (28, 28, 1), 60_000, 0.05),
+    "celeba64": ParityConfig("celeba64", (64, 64, 3), 20_000, 5.0),
+}
+
+
+def _corpus(cfg: ParityConfig):
     sys.path.insert(0, REPO)
     from blurred_gan_tpu.data.pipeline import synthetic_dataset
 
-    return synthetic_dataset(IMAGE_SHAPE, num_examples=CORPUS_N)
+    return synthetic_dataset(cfg.image_shape, num_examples=cfg.corpus_n)
 
 
-def _sigma_controller(total_examples: int):
+def _sigma_controller(cfg: ParityConfig, total_examples: int):
     sys.path.insert(0, REPO)
     from blurred_gan_tpu.sched.blur import BlurDecayController
 
-    # demo_mnist.py:199: max_value = initial_blur_std (default 0.05).
+    # mnist: max_value = initial_blur_std (demo_mnist.py:199, default 0.05);
+    # celeba: max_value = 5 hard-coded (demo_celeba.py:226).
     return BlurDecayController(total_n_training_examples=total_examples,
-                               max_value=0.05)
+                               max_value=cfg.sigma0)
+
+
+def _our_models(cfg: ParityConfig):
+    from blurred_gan_tpu.models import (celeba_discriminator,
+                                        celeba_generator,
+                                        mnist_discriminator, mnist_generator)
+
+    if cfg.name == "mnist":
+        return mnist_generator(), mnist_discriminator()
+    res = cfg.image_shape[0]
+    return celeba_generator(res), celeba_discriminator(res)
 
 
 def _eval_latents(seed: int = 123) -> np.ndarray:
@@ -65,7 +101,7 @@ def _eval_latents(seed: int = 123) -> np.ndarray:
     return np.random.RandomState(seed).rand(N_EVAL, LATENT).astype(np.float32)
 
 
-def train_ref(examples: int, out: str, seed: int) -> None:
+def train_ref(cfg: ParityConfig, examples: int, out: str, seed: int) -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import reference_baseline
 
@@ -76,9 +112,9 @@ def train_ref(examples: int, out: str, seed: int) -> None:
     tf.config.set_visible_devices([], "GPU")
     tf.keras.utils.set_random_seed(seed)
     gan, _ = reference_baseline.build_reference_gan(
-        "mnist", os.path.join(out, f"ref_log_s{seed}"))
-    ds = _corpus()
-    ctrl = _sigma_controller(examples)
+        cfg.name, os.path.join(out, f"ref_log_s{seed}"))
+    ds = _corpus(cfg)
+    ctrl = _sigma_controller(cfg, examples)
 
     t0 = time.time()
     n_batches = 0
@@ -103,7 +139,8 @@ def train_ref(examples: int, out: str, seed: int) -> None:
          for i in range(0, N_EVAL, 100)])
     os.makedirs(out, exist_ok=True)
     np.savez(os.path.join(out, f"ref_samples_s{seed}.npz"), samples=samples)
-    meta = {"framework": "reference-tf", "seed": seed, "examples": examples,
+    meta = {"framework": "reference-tf", "config": cfg.name, "seed": seed,
+            "examples": examples,
             "images_per_sec": round(examples / elapsed, 2),
             "elapsed_s": round(elapsed, 1)}
     with open(os.path.join(out, f"ref_meta_s{seed}.json"), "w") as f:
@@ -111,20 +148,20 @@ def train_ref(examples: int, out: str, seed: int) -> None:
     print(json.dumps(meta))
 
 
-def train_ours(examples: int, out: str, seed: int) -> None:
+def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int) -> None:
     sys.path.insert(0, REPO)
     import jax
     import jax.numpy as jnp
 
-    from blurred_gan_tpu.models import mnist_discriminator, mnist_generator
     from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
                                        Trainer, TrainerConfig)
 
-    gan = GAN(mnist_generator(), mnist_discriminator(), blurred=True)
+    gen, disc = _our_models(cfg)
+    gan = GAN(gen, disc, blurred=True)
     hp = BlurredWGANGPHyperParameters(batch_size=BATCH,
                                       global_batch_size=BATCH)
-    ds = _corpus()
-    ctrl = _sigma_controller(examples)
+    ds = _corpus(cfg)
+    ctrl = _sigma_controller(cfg, examples)
     run_dir = os.path.join(out, f"ours_log_s{seed}")
     tr = Trainer(gan, hp, ds,
                  trainer_config=TrainerConfig(
@@ -138,13 +175,14 @@ def train_ours(examples: int, out: str, seed: int) -> None:
     elapsed = time.time() - t0
 
     latents = jnp.asarray(_eval_latents())
-    fakes, _ = gan.generate(state.g_params, state.g_stats, latents,
-                            train=False)
-    samples = np.asarray(fakes)
+    samples = np.concatenate(
+        [np.asarray(gan.generate(state.g_params, state.g_stats,
+                                 latents[i:i + 100], train=False)[0])
+         for i in range(0, N_EVAL, 100)])
     tr.close()
     os.makedirs(out, exist_ok=True)
     np.savez(os.path.join(out, f"ours_samples_s{seed}.npz"), samples=samples)
-    meta = {"framework": "blurred_gan_tpu", "seed": seed,
+    meta = {"framework": "blurred_gan_tpu", "config": cfg.name, "seed": seed,
             "examples": examples, "backend": jax.default_backend(),
             "images_per_sec": round(examples / elapsed, 2),
             "elapsed_s": round(elapsed, 1)}
@@ -153,11 +191,12 @@ def train_ours(examples: int, out: str, seed: int) -> None:
     print(json.dumps(meta))
 
 
-def evaluate(out: str, seeds, use_inception: bool) -> None:
+def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
+             inception_size: int = 75) -> None:
     sys.path.insert(0, REPO)
     from blurred_gan_tpu.metrics import FIDMetric, SWDMetric
 
-    ds = _corpus()
+    ds = _corpus(cfg)
     # Held-out-order reals: last N_EVAL of a fixed shuffle (training streams
     # start from the epoch-0 front of per-seed shuffles).
     order = np.random.RandomState(10_000).permutation(ds.num_examples)
@@ -168,7 +207,8 @@ def evaluate(out: str, seeds, use_inception: bool) -> None:
     if use_inception:
         from blurred_gan_tpu.metrics import inception_feature_fn
 
-        feature_fns["fid_inception"] = inception_feature_fn(resize_to=75)
+        feature_fns["fid_inception"] = inception_feature_fn(
+            resize_to=inception_size)
 
     def score(name: str, fakes: np.ndarray) -> dict:
         row = {"samples": name}
@@ -213,16 +253,24 @@ def evaluate(out: str, seeds, use_inception: bool) -> None:
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("cmd", choices=["train_ref", "train_ours", "evaluate"])
+    p.add_argument("--config", default="mnist", choices=sorted(CONFIGS))
     p.add_argument("--examples", type=int, default=60_000)
     p.add_argument("--out", type=str, default="/tmp/quality_parity")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--seeds", type=str, default="0")
     p.add_argument("--inception", action="store_true")
+    p.add_argument("--inception_size", type=int, default=75,
+                   help="Inception input resize for scoring; 75 is the fast "
+                        "default used throughout BASELINE.md (a deviation "
+                        "from the reference's 299 FID protocol — same trunk "
+                        "both sides, so relative gaps are unaffected; pass "
+                        "299 for the full protocol)")
     args = p.parse_args()
+    cfg = CONFIGS[args.config]
     if args.cmd == "train_ref":
-        train_ref(args.examples, args.out, args.seed)
+        train_ref(cfg, args.examples, args.out, args.seed)
     elif args.cmd == "train_ours":
-        train_ours(args.examples, args.out, args.seed)
+        train_ours(cfg, args.examples, args.out, args.seed)
     else:
-        evaluate(args.out, [int(s) for s in args.seeds.split(",")],
-                 args.inception)
+        evaluate(cfg, args.out, [int(s) for s in args.seeds.split(",")],
+                 args.inception, args.inception_size)

@@ -85,6 +85,30 @@ def build_reference_gan(config: str, log_dir: str):
             L.Flatten(), L.Dense(1),
         ])
         shape = (28, 28, 1)
+    elif config == "celeba64":
+        # The reference only ships the 128^2 CelebA pair; this is the same
+        # construction rule with one fewer stage on each side — exactly what
+        # this repo's model zoo produces at resolution=64
+        # (blurred_gan_tpu/models/dcgan.py celeba_generator/discriminator),
+        # so the two frameworks train identical architectures head-to-head.
+        gen = tf.keras.Sequential([
+            L.Dense(4 * 4 * 512, use_bias=False, input_shape=(100,)),
+            L.BatchNormalization(), L.LeakyReLU(), L.Reshape((4, 4, 512)),
+            *[l for ch, s in [(512, 1), (256, 2), (128, 2), (64, 2),
+                              (32, 2)]
+              for l in (L.Conv2DTranspose(ch, 5, s, "same", use_bias=False),
+                        L.BatchNormalization(), L.LeakyReLU())],
+            L.Conv2D(3, 5, 1, "same", use_bias=False, activation="tanh"),
+        ])
+        disc = tf.keras.Sequential([
+            L.Conv2D(32, 5, 2, "same", input_shape=(64, 64, 3)),
+            L.LeakyReLU(), L.Dropout(0.3),
+            *[l for ch in (64, 128, 256, 512)
+              for l in (L.Conv2D(ch, 5, 2, "same"), L.LeakyReLU(),
+                        L.Dropout(0.3))],
+            L.Flatten(), L.Dense(1),
+        ])
+        shape = (64, 64, 3)
     elif config == "celeba128":
         gen = tf.keras.Sequential([
             L.Dense(4 * 4 * 512, use_bias=False, input_shape=(100,)),
@@ -143,7 +167,7 @@ def measure(config: str, batch: int = 32, steps: int = 5,
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="all",
-                   choices=["mnist", "celeba128", "all"])
+                   choices=["mnist", "celeba64", "celeba128", "all"])
     args = p.parse_args()
     configs = (["mnist", "celeba128"] if args.config == "all"
                else [args.config])

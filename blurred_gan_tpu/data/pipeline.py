@@ -10,8 +10,9 @@ redesign:
   float32, and the normalisation fuses into the first conv's prologue.
 - Shuffling is an index-permutation pass over a memory-resident uint8 store (MNIST
   is 45 MB; CelebA-128 at uint8 is ~9.5 GB — for larger-than-RAM corpora use
-  :func:`image_folder_dataset` which decodes lazily per batch with a shuffle
-  window).
+  :func:`image_folder_dataset`, which keeps only file paths in memory, draws a
+  full fresh permutation of them each epoch, and decodes per batch on the
+  prefetch thread).
 - **Prefetch** runs on a background thread with a bounded queue so JPEG decode /
   permutation overlaps device compute (the tf.data AUTOTUNE capability,
   demo_mnist.py:39-43).
@@ -174,7 +175,8 @@ def load_celeba(path: Optional[str] = None, resolution: int = 128,
 
 
 class ImageFolderDataset:
-    """Lazily-decoded image-directory dataset with windowed shuffling.
+    """Lazily-decoded image-directory dataset with full per-epoch shuffling
+    (a fresh permutation of the file list each epoch; only paths stay in RAM).
 
     For corpora too large to hold decoded in RAM (CelebA-128 ≈ 9.5 GB uint8).
     Decode happens on the prefetch thread; images are centre-cropped to square

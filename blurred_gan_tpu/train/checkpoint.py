@@ -75,25 +75,44 @@ class CheckpointManager:
                 args["aux"] = ocp.args.JsonRestore()
             return self._mngr.restore(step, args=ocp.args.Composite(**args))
 
-        try:
-            restored = _restore(state_template)
-            state = restored["state"]
-        except Exception:
-            # Legacy checkpoints (pre-0.3) stored n_img as a scalar int32;
-            # the template now expects the (2,)-int32 wide counter. Retry
-            # with a scalar-n_img template and widen on the way in.
-            legacy = self._legacy_counter_template(state_template)
-            if legacy is None:
-                raise
-            restored = _restore(legacy)
+        # Legacy checkpoints (pre-0.3) stored n_img as a scalar int32; the
+        # template now expects the (2,)-int32 wide counter. Decide which
+        # template fits by inspecting the SAVED n_img metadata up front —
+        # retrying on arbitrary restore exceptions would re-attempt (and
+        # mis-attribute) unrelated failures like corrupt files or other
+        # shape mismatches (round-2 ADVICE).
+        is_legacy = (self._saved_n_img_is_scalar(step)
+                     and hasattr(state_template, "n_img"))
+        if is_legacy:
+            template = self._legacy_counter_template(state_template)
+            restored = _restore(template)
             from blurred_gan_tpu.train.state import wide_counter
 
             state = restored["state"].replace(
                 n_img=wide_counter(int(restored["state"].n_img)))
             print("[checkpoint] migrated legacy scalar n_img counter to the "
                   "wide (2,)-int32 form")
+        else:
+            restored = _restore(state_template)
+            state = restored["state"]
         aux = dict(restored.get("aux") or {}) if has_aux else {}
         return state, aux, step
+
+    def _saved_n_img_is_scalar(self, step: int) -> bool:
+        """True iff the checkpoint at ``step`` saved ``n_img`` with scalar
+        shape (the pre-0.3 layout). Metadata-only — nothing is restored. Any
+        metadata-read failure means "not legacy": the normal restore then
+        runs and surfaces its own (original) error."""
+        try:
+            meta = self._mngr.item_metadata(step)["state"]
+            # Orbax returns a TreeMetadata wrapper whose .tree is the dict of
+            # per-leaf ArrayMetadata (shape/dtype), keyed by field name.
+            tree = getattr(meta, "tree", meta)
+            n_img = (tree.get("n_img") if isinstance(tree, dict)
+                     else getattr(tree, "n_img", None))
+            return n_img is not None and tuple(n_img.shape) == ()
+        except Exception:
+            return False
 
     @staticmethod
     def _legacy_counter_template(state_template):
@@ -175,6 +194,12 @@ def save_on_interrupt(save_fn, defer: bool = False):
     def handler(signum, frame):
         if defer and not pending["sig"]:
             pending["sig"] = True
+            # Acknowledge immediately: the loop may be blocked in a long
+            # device fetch for a while before it reaches the next safe
+            # point, and a silent handler reads as a lost signal.
+            print("[trainer] signal received - will checkpoint at the next "
+                  "safe point; send again to force immediate unwind",
+                  flush=True)
             return
         do_save()
         raise KeyboardInterrupt

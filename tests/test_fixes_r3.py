@@ -1,0 +1,297 @@
+"""Round-3 regression tests (VERDICT.md round 2: weak #1-#4, missing #2).
+
+Covers: the d_steps==1 train-step specialisation, gen_loss carry on skipped
+generator steps, raw-by-default sample grids, the device-resident metric
+cadence, FID shifted-moment precision at protocol scale, and the
+metadata-driven legacy-checkpoint decision.
+"""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from blurred_gan_tpu.data import synthetic_dataset
+from blurred_gan_tpu.models import DCGANDiscriminator, DCGANGenerator
+from blurred_gan_tpu.metrics import SWDMetric
+from blurred_gan_tpu.metrics.fid import FeatureStats
+from blurred_gan_tpu.sched.blur import BlurDecayController
+from blurred_gan_tpu.train import (
+    BlurredWGANGPHyperParameters,
+    GAN,
+    MetricFeeder,
+    Trainer,
+    TrainerConfig,
+    create_train_state,
+    make_train_step,
+)
+
+
+def micro_gan():
+    g = DCGANGenerator(latent_size=16, init_hw=(4, 4), init_features=32,
+                       blocks=((32, 2), (16, 2)), out_channels=1,
+                       final_transpose=False, final_stride=1)
+    d = DCGANDiscriminator(channels=(16, 32))
+    return GAN(g, d, latent_size=16, blurred=True)
+
+
+def micro_hparams(**kw):
+    kw.setdefault("batch_size", 8)
+    kw.setdefault("global_batch_size", 8)
+    kw.setdefault("learning_rate", 1e-3)
+    return BlurredWGANGPHyperParameters(**kw)
+
+
+def make_trainer(tmp_path, subdir="run", hparams=None, **kw):
+    ds = synthetic_dataset((16, 16, 1), num_examples=64)
+    cfg_kw = dict(
+        log_dir=str(tmp_path / subdir),
+        log_metrics_every_n_examples=kw.pop("log_every", 16),
+        sample_grid_every_n_examples=100_000,
+        checkpoint_every_n_examples=kw.pop("ckpt_every", 100_000),
+        save_sample_pngs=False,
+        seed=0,
+    )
+    cfg_kw.update(kw.pop("cfg_kw", {}))
+    return Trainer(
+        micro_gan(), hparams or micro_hparams(), ds,
+        trainer_config=TrainerConfig(**cfg_kw),
+        blur_controller=kw.pop("blur_controller",
+                               BlurDecayController(640, max_value=1.0)),
+        **kw)
+
+
+# ---------------------------------------------------------------------------
+# d_steps_per_g_step == 1 specialisation (VERDICT weak #2)
+# ---------------------------------------------------------------------------
+
+
+class _OpaqueOne(int):
+    """An int whose value is 1 but which fails the ``== 1`` specialisation
+    check — forces make_train_step down the generic lax.cond path with
+    identical semantics, for an apples-to-apples equivalence test."""
+
+    def __eq__(self, other):
+        return False
+
+    def __ne__(self, other):
+        return True
+
+    __hash__ = int.__hash__
+
+
+class TestGenStepSpecialisation:
+    def test_specialised_step_matches_cond_path(self):
+        gan = micro_gan()
+        hp = micro_hparams()
+        assert hp.d_steps_per_g_step == 1
+        hp_cond = dataclasses.replace(hp,
+                                      d_steps_per_g_step=_OpaqueOne(1))
+        step_fast = make_train_step(gan, hp, donate_state=False)
+        step_cond = make_train_step(gan, hp_cond, donate_state=False)
+
+        state_a = create_train_state(gan, hp, jax.random.PRNGKey(0),
+                                     (16, 16, 1))
+        state_b = create_train_state(gan, hp, jax.random.PRNGKey(0),
+                                     (16, 16, 1))
+        rng = jax.random.PRNGKey(7)
+        for i in range(3):
+            reals = jax.random.uniform(jax.random.fold_in(rng, 100 + i),
+                                       (8, 16, 16, 1), jnp.float32, -1, 1)
+            k = jax.random.fold_in(rng, i)
+            state_a, ma, _ = step_fast(state_a, reals, jnp.float32(0.5), k)
+            state_b, mb, _ = step_cond(state_b, reals, jnp.float32(0.5), k)
+            assert bool(ma["did_gen_step"]) and bool(mb["did_gen_step"])
+            np.testing.assert_allclose(float(ma["gen_loss"]),
+                                       float(mb["gen_loss"]), rtol=2e-5)
+        for xa, xb in zip(jax.tree_util.tree_leaves(state_a),
+                          jax.tree_util.tree_leaves(state_b)):
+            np.testing.assert_allclose(np.asarray(xa, np.float64),
+                                       np.asarray(xb, np.float64),
+                                       rtol=3e-5, atol=1e-6)
+
+    def test_d2_still_gates_gen_updates(self):
+        gan = micro_gan()
+        hp = micro_hparams(d_steps_per_g_step=2)
+        step = make_train_step(gan, hp, donate_state=False)
+        state = create_train_state(gan, hp, jax.random.PRNGKey(0), (16, 16, 1))
+        reals = jax.random.uniform(jax.random.PRNGKey(5), (8, 16, 16, 1),
+                                   jnp.float32, -1, 1)
+        flags = []
+        for i in range(4):
+            state, m, _ = step(state, reals, jnp.float32(0.5),
+                               jax.random.PRNGKey(i))
+            flags.append(bool(m["did_gen_step"]))
+        assert flags == [True, False, True, False]
+
+
+# ---------------------------------------------------------------------------
+# gen_loss carry on skipped gen steps (VERDICT weak #4)
+# ---------------------------------------------------------------------------
+
+
+class TestGenLossCarry:
+    def test_fill_helper(self, tmp_path):
+        tr = make_trainer(tmp_path, subdir="carry_unit")
+        logs = {"gen_loss": 1.5, "did_gen_step": 1.0}
+        tr._fill_gen_loss(logs)
+        assert logs["gen_loss"] == 1.5
+        skipped = {"gen_loss": 0.0, "did_gen_step": 0.0}
+        tr._fill_gen_loss(skipped)
+        assert skipped["gen_loss"] == 1.5  # carried
+        # A fresh real value replaces the carry.
+        logs2 = {"gen_loss": -0.3, "did_gen_step": 1.0}
+        tr._fill_gen_loss(logs2)
+        skipped2 = {"gen_loss": 0.0, "did_gen_step": 0.0}
+        tr._fill_gen_loss(skipped2)
+        assert skipped2["gen_loss"] == -0.3
+        tr.close()
+
+    def test_logged_stream_has_no_structural_zeros(self, tmp_path):
+        tr = make_trainer(tmp_path, subdir="carry",
+                          hparams=micro_hparams(d_steps_per_g_step=2),
+                          log_every=8)  # log every step at bs 8
+        tr.fit(total_examples=10_000, max_steps=6)
+        events = os.path.join(tr.cfg.log_dir, "events.jsonl")
+        recs = [json.loads(line) for line in open(events)]
+        tr.close()
+        rows = [r for r in recs if "batch_gen_loss" in r]
+        assert len(rows) >= 4
+        last_real = None
+        saw_skip = False
+        for r in rows:
+            if r["batch_did_gen_step"]:
+                last_real = r["batch_gen_loss"]
+            else:
+                saw_skip = True
+                assert last_real is not None
+                assert r["batch_gen_loss"] == pytest.approx(last_real)
+        assert saw_skip  # d=2 produced skipped steps in the log
+
+
+# ---------------------------------------------------------------------------
+# Raw-by-default sample grids (VERDICT weak #1)
+# ---------------------------------------------------------------------------
+
+
+class TestSampleGridRaw:
+    def _grids(self, tr):
+        from blurred_gan_tpu.utils.images import normalize_images, samples_grid
+
+        captured = {}
+        orig = tr.logger.image
+        tr.logger.image = lambda step, tag, img: captured.__setitem__(tag, img)
+        try:
+            tr._sample_grid(0, {})
+        finally:
+            tr.logger.image = orig
+        raw = np.asarray(tr.sample_fn(tr.state, tr.grid_latents))
+        expected = samples_grid(normalize_images(raw))
+        return captured, expected
+
+    def test_primary_grid_is_raw(self, tmp_path):
+        tr = make_trainer(tmp_path, subdir="grid_raw")
+        tr._current_sigma = 2.0
+        captured, expected = self._grids(tr)
+        tr.close()
+        assert "samples_grid" in captured
+        np.testing.assert_array_equal(captured["samples_grid"], expected)
+        # The blurred view is an extra tag and differs from the raw grid.
+        assert "samples_grid_blurred" in captured
+        assert not np.array_equal(captured["samples_grid_blurred"], expected)
+
+    def test_blurred_tag_optional(self, tmp_path):
+        tr = make_trainer(tmp_path, subdir="grid_noblur",
+                          cfg_kw={"show_blurred_samples": False})
+        tr._current_sigma = 2.0
+        captured, expected = self._grids(tr)
+        tr.close()
+        np.testing.assert_array_equal(captured["samples_grid"], expected)
+        assert "samples_grid_blurred" not in captured
+
+
+# ---------------------------------------------------------------------------
+# Device-resident metric cadence (VERDICT missing #2)
+# ---------------------------------------------------------------------------
+
+
+class TestChunkedMetricCadence:
+    def test_feeder_fires_at_chunk_boundaries(self, tmp_path):
+        feeder = MetricFeeder(SWDMetric(nhoods_per_image=16),
+                              every_n_examples=32, num_samples=16, name="swd")
+        tr = make_trainer(tmp_path, subdir="chunked_eval",
+                          metric_feeders=[feeder])
+        tr.fit_device_resident(total_examples=64, chunk_steps=4)
+        events = open(os.path.join(tr.cfg.log_dir, "events.jsonl")).read()
+        tr.close()
+        assert "swd/SWDx1e3_16" in events
+        # The feeder completed (not left mid-recording at run end).
+        assert not feeder.recording
+
+
+# ---------------------------------------------------------------------------
+# FID shifted-moment precision at protocol scale (VERDICT weak #3)
+# ---------------------------------------------------------------------------
+
+
+class TestFeatureStatsPrecision:
+    def test_matches_f64_cov_at_50k_with_offset_means(self):
+        rng = np.random.RandomState(0)
+        d, n, bs = 128, 50_000, 2_500
+        # Strong mean offset (|mu| >> std): the regime where unshifted f32
+        # SSxxT - n*mu*muT accumulation loses digits to cancellation.
+        feats = (rng.randn(n, d) * 3.0 + 50.0).astype(np.float32)
+        fs = FeatureStats(d)
+        for i in range(0, n, bs):
+            fs.update(jnp.asarray(feats[i:i + bs]))
+        mu, sig = fs.finalize()
+        f64 = feats.astype(np.float64)
+        ref_mu = f64.mean(0)
+        ref_cov = np.cov(f64, rowvar=False)
+        mu_rel = (np.linalg.norm(mu - ref_mu)
+                  / np.linalg.norm(ref_mu))
+        cov_rel = (np.linalg.norm(sig - ref_cov)
+                   / np.linalg.norm(ref_cov))
+        assert mu_rel < 1e-6, mu_rel
+        assert cov_rel < 1e-4, cov_rel  # documented bound (fid.py docstring)
+
+    def test_reset_clears_shift(self):
+        fs = FeatureStats(4)
+        fs.update(jnp.ones((8, 4)) * 100.0)
+        fs.reset()
+        assert fs.shift is None
+        # A fresh stream with a different offset is unaffected by the old one.
+        x = np.random.RandomState(1).randn(64, 4).astype(np.float32)
+        for i in range(0, 64, 16):
+            fs.update(jnp.asarray(x[i:i + 16]))
+        mu, sig = fs.finalize()
+        np.testing.assert_allclose(mu, x.astype(np.float64).mean(0),
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            sig, np.cov(x.astype(np.float64), rowvar=False), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-driven legacy-checkpoint decision (round-2 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+class TestLegacyDecisionByMetadata:
+    def test_scalar_vs_wide_detection(self, tmp_path):
+        from blurred_gan_tpu.train.checkpoint import CheckpointManager
+
+        m = CheckpointManager(str(tmp_path / "ck"))
+        m.save(1, {"a": jnp.arange(3.0), "n_img": jnp.int32(7)})
+        m.save(2, {"a": jnp.arange(3.0),
+                   "n_img": jnp.zeros((2,), jnp.int32)})
+        m.wait_until_finished()
+        assert m._saved_n_img_is_scalar(1) is True
+        assert m._saved_n_img_is_scalar(2) is False
+        # Unknown step: metadata read fails -> not legacy (normal restore
+        # path surfaces its own error).
+        assert m._saved_n_img_is_scalar(999) is False
+        m.close()

@@ -61,8 +61,8 @@ def main():
                         help="park the dataset in HBM and scan many steps per"
                              " dispatch (full device rate; needs a"
                              " memory-resident dataset — CelebA-128 uint8 is"
-                             " ~9.5 GB; SWD/FID feeders disabled — use"
-                             " evaluate/generate offline)")
+                             " ~9.5 GB; SWD/FID cadence measured at chunk"
+                             " boundaries)")
     parser.add_argument("--chunk_steps", type=int, default=100)
     args = parser.parse_args()
 
@@ -100,7 +100,7 @@ def main():
         from blurred_gan_tpu.metrics import inception_feature_fn
 
         fid_metric = FIDMetric(feature_fn=inception_feature_fn())
-    feeders = [] if args.device_resident else [
+    feeders = [
         MetricFeeder(SWDMetric(), every_n_examples=50_000, num_samples=1000,
                      name="swd"),
         MetricFeeder(fid_metric, every_n_examples=50_000, num_samples=100,

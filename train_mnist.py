@@ -70,8 +70,8 @@ def main():
                              " --log_dir")
     parser.add_argument("--device_resident", action="store_true",
                         help="park the dataset in HBM and scan many steps per"
-                             " dispatch (full device rate; SWD/FID feeders"
-                             " disabled — use generate/evaluate offline)")
+                             " dispatch (full device rate; SWD/FID cadence"
+                             " measured at chunk boundaries)")
     parser.add_argument("--chunk_steps", type=int, default=100)
     args = parser.parse_args()
 
@@ -107,7 +107,7 @@ def main():
         from blurred_gan_tpu.metrics import inception_feature_fn
 
         fid_metric = FIDMetric(feature_fn=inception_feature_fn())
-    feeders = [] if args.device_resident else [
+    feeders = [
         MetricFeeder(SWDMetric(), every_n_examples=50_000, num_samples=1000,
                      name="swd"),
         MetricFeeder(fid_metric, every_n_examples=50_000, num_samples=100,
