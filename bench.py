@@ -128,6 +128,19 @@ def main():
                    help="blur lowering inside the critic: the fused Pallas "
                         "primitive (auto/pallas) or the plain-XLA einsum "
                         "baseline — step-level A/B (ops/blur.py)")
+    p.add_argument("--gen_gate", type=str, default="auto",
+                   choices=["auto", "cond"],
+                   help="A/B the generator-step gating: 'auto' specialises "
+                        "the step to straight-line code at the default "
+                        "d_steps_per_g_step=1; 'cond' forces the generic "
+                        "lax.cond gate with identical semantics "
+                        "(train/step.py round-3 specialisation)")
+    p.add_argument("--fast_gen", action="store_true",
+                   help="profile-guided generator dtype boundaries: BatchNorm "
+                        "arithmetic and the final tanh stay in the bf16 "
+                        "compute dtype instead of round-tripping through "
+                        "float32 (stats still accumulate in f32; "
+                        "models/dcgan.py bn_dtype/output_f32)")
     p.add_argument("--chunked", action="store_true",
                    help="measure the device-resident chunked path end-to-end "
                         "(HBM-parked dataset, on-device gather+normalise, "
@@ -148,8 +161,26 @@ def main():
 
     hp = BlurredWGANGPHyperParameters(batch_size=batch,
                                       global_batch_size=batch)
+    if args.gen_gate == "cond":
+        import dataclasses
+
+        class _OpaqueOne(int):
+            """Value 1, but defeats the `== 1` specialisation check."""
+
+            def __eq__(self, other):
+                return False
+
+            def __ne__(self, other):
+                return True
+
+            __hash__ = int.__hash__
+
+        hp = dataclasses.replace(hp, d_steps_per_g_step=_OpaqueOne(1))
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    gan = GAN(celeba_generator(resolution, compute_dtype=dtype),
+    gen_kw = {}
+    if args.fast_gen:
+        gen_kw = {"bn_dtype": dtype, "output_f32": False}
+    gan = GAN(celeba_generator(resolution, compute_dtype=dtype, **gen_kw),
               celeba_discriminator(resolution, compute_dtype=dtype),
               blurred=True, blur_impl=args.blur_impl)
 
@@ -247,6 +278,10 @@ def main():
     }
     if args.blur_impl != "auto":
         out["blur_impl"] = args.blur_impl
+    if args.gen_gate != "auto":
+        out["gen_gate"] = args.gen_gate
+    if args.fast_gen:
+        out["fast_gen"] = True
     print(json.dumps(out))
 
 

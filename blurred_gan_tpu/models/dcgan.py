@@ -45,14 +45,27 @@ class DCGANGenerator(nn.Module):
     final_transpose: bool = False  # MNIST ends with ConvT stride 2; CelebA with Conv.
     final_stride: int = 1
     compute_dtype: jnp.dtype = jnp.float32
+    # Profile-guided fast paths (BASELINE.md round-3 gen-step study). Both
+    # preserve the architecture; they only move dtype boundaries:
+    # - bn_dtype: BatchNorm *arithmetic* dtype (None -> float32, the tf.keras
+    #   default). flax computes the batch statistics in >= float32 regardless,
+    #   so bfloat16 here only affects the normalise/scale elementwise pass —
+    #   at 128^2 x 16ch that pass is pure HBM traffic and f32 doubles it.
+    # - output_f32: cast to float32 *before* the final tanh (reference
+    #   semantics). False keeps the image in compute_dtype — the critic
+    #   recasts to compute_dtype anyway, so training in bf16 avoids a
+    #   25 MB/step f32 round-trip at CelebA-128 b128.
+    bn_dtype: jnp.dtype | None = None
+    output_f32: bool = True
 
     @nn.compact
     def __call__(self, z, *, train: bool = False):
+        bn_dtype = self.bn_dtype or jnp.float32
         h0, w0 = self.init_hw
         x = nn.Dense(h0 * w0 * self.init_features, use_bias=False,
                      kernel_init=_glorot, dtype=self.compute_dtype)(z)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=jnp.float32)(x)
+                         epsilon=1e-3, dtype=bn_dtype)(x)
         x = nn.leaky_relu(x, LEAKY_SLOPE)
         x = x.reshape((x.shape[0], h0, w0, self.init_features))
         for features, stride in self.blocks:
@@ -60,7 +73,7 @@ class DCGANGenerator(nn.Module):
                                  padding="SAME", use_bias=False,
                                  kernel_init=_glorot, dtype=self.compute_dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, dtype=jnp.float32)(x)
+                             epsilon=1e-3, dtype=bn_dtype)(x)
             x = nn.leaky_relu(x, LEAKY_SLOPE)
         if self.final_transpose:
             x = nn.ConvTranspose(self.out_channels, (5, 5),
@@ -72,7 +85,9 @@ class DCGANGenerator(nn.Module):
                         strides=(self.final_stride, self.final_stride),
                         padding="SAME", use_bias=False,
                         kernel_init=_glorot, dtype=self.compute_dtype)(x)
-        return jnp.tanh(x.astype(jnp.float32))
+        if self.output_f32:
+            return jnp.tanh(x.astype(jnp.float32))
+        return jnp.tanh(x)
 
 
 class DCGANDiscriminator(nn.Module):
@@ -117,12 +132,14 @@ def mnist_discriminator(compute_dtype=jnp.float32):
 
 
 def celeba_generator(resolution: int = 128, latent_size: int = 100,
-                     compute_dtype=jnp.float32):
+                     compute_dtype=jnp.float32, bn_dtype=None,
+                     output_f32: bool = True):
     """CelebA generator at a power-of-two resolution >= 8.
 
     At 128 this is exactly demo_celeba.py:51-93 (4x4x512 -> 6 ConvT stages -> Conv
     tanh); smaller resolutions drop trailing stages (config #2 in BASELINE.json uses
-    64).
+    64). ``bn_dtype``/``output_f32``: dtype-boundary fast paths, see
+    DCGANGenerator.
     """
     assert resolution >= 8 and (resolution & (resolution - 1)) == 0
     n_up = resolution.bit_length() - 3  # 4 * 2**n_up == resolution
@@ -131,7 +148,8 @@ def celeba_generator(resolution: int = 128, latent_size: int = 100,
     return DCGANGenerator(
         latent_size=latent_size, init_hw=(4, 4), init_features=512,
         blocks=tuple(blocks), out_channels=3,
-        final_transpose=False, final_stride=1, compute_dtype=compute_dtype)
+        final_transpose=False, final_stride=1, compute_dtype=compute_dtype,
+        bn_dtype=bn_dtype, output_f32=output_f32)
 
 
 def celeba_discriminator(resolution: int = 128, compute_dtype=jnp.float32):

@@ -276,6 +276,54 @@ class TestFeatureStatsPrecision:
 
 
 # ---------------------------------------------------------------------------
+# Generator dtype-boundary fast paths (round-3 profile-guided study)
+# ---------------------------------------------------------------------------
+
+
+class TestFastGenOptions:
+    def test_same_params_and_close_outputs(self):
+        from blurred_gan_tpu.models import DCGANGenerator
+
+        kw = dict(latent_size=16, init_hw=(4, 4), init_features=32,
+                  blocks=((32, 2), (16, 2)), out_channels=1,
+                  final_transpose=False, final_stride=1)
+        z = jax.random.uniform(jax.random.PRNGKey(0), (4, 16))
+        g_ref = DCGANGenerator(**kw, compute_dtype=jnp.bfloat16)
+        g_fast = DCGANGenerator(**kw, compute_dtype=jnp.bfloat16,
+                                bn_dtype=jnp.bfloat16, output_f32=False)
+        v_ref = g_ref.init(jax.random.PRNGKey(1), z, train=False)
+        v_fast = g_fast.init(jax.random.PRNGKey(1), z, train=False)
+        # The dtype flags move computation boundaries only — parameters and
+        # their dtypes are identical.
+        for a, b in zip(jax.tree_util.tree_leaves(v_ref),
+                        jax.tree_util.tree_leaves(v_fast)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        y_ref, _ = g_ref.apply(v_ref, z, train=True, mutable=["batch_stats"])
+        y_fast, _ = g_fast.apply(v_fast, z, train=True,
+                                 mutable=["batch_stats"])
+        assert y_ref.dtype == jnp.float32
+        assert y_fast.dtype == jnp.bfloat16
+        d = np.abs(np.asarray(y_ref, np.float32)
+                   - np.asarray(y_fast, np.float32))
+        assert d.max() < 0.05  # bf16 rounding only, same function
+
+    def test_default_path_unchanged(self):
+        """bn_dtype=None must be exactly the old f32-BN behaviour."""
+        from blurred_gan_tpu.models import DCGANGenerator
+
+        kw = dict(latent_size=16, init_hw=(4, 4), init_features=32,
+                  blocks=((32, 2),), out_channels=1,
+                  final_transpose=False, final_stride=1)
+        z = jax.random.uniform(jax.random.PRNGKey(0), (2, 16))
+        g_a = DCGANGenerator(**kw)
+        g_b = DCGANGenerator(**kw, bn_dtype=jnp.float32, output_f32=True)
+        v = g_a.init(jax.random.PRNGKey(1), z, train=False)
+        ya = g_a.apply(v, z, train=False)
+        yb = g_b.apply(v, z, train=False)
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+
+# ---------------------------------------------------------------------------
 # Metadata-driven legacy-checkpoint decision (round-2 ADVICE)
 # ---------------------------------------------------------------------------
 

@@ -54,6 +54,12 @@ def main():
                              "(local weights; see metrics/inception.py)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations (MXU-native)")
+    parser.add_argument("--fast_gen", action="store_true",
+                        help="with --bf16: keep generator BatchNorm "
+                             "arithmetic and the final tanh in bfloat16 "
+                             "instead of float32 round-trips (BN statistics "
+                             "still accumulate in float32; A/B'd in "
+                             "BASELINE.md)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--run_name", type=str, default=None,
                         help="create an auto-numbered results/NN-<name> run dir")
@@ -83,7 +89,9 @@ def main():
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    gan = GAN(celeba_generator(args.resolution, compute_dtype=dtype),
+    gen_kw = ({"bn_dtype": dtype, "output_f32": False}
+              if (args.fast_gen and args.bf16) else {})
+    gan = GAN(celeba_generator(args.resolution, compute_dtype=dtype, **gen_kw),
               celeba_discriminator(args.resolution, compute_dtype=dtype),
               blurred=True)
 
