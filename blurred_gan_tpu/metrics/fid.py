@@ -132,6 +132,27 @@ class FeatureStats:
         sigma = (ss - n * np.outer(m, m)) / (n - 1.0)
         return mu, sigma
 
+    def moments(self):
+        """(n, μ, M2) with M2 = Σ(x−μ)(x−μ)ᵀ (the centred second-moment sum),
+        in float64 — the mergeable representation for cross-process pooling."""
+        n = float(self.n)
+        assert n >= 2
+        m = np.asarray(self.s, np.float64) / n
+        mu = np.asarray(self.shift, np.float64) + m
+        m2 = np.asarray(self.ss, np.float64) - n * np.outer(m, m)
+        return n, mu, m2
+
+
+def merge_feature_moments(moments):
+    """Pool per-process (n, μ, M2) triples into global (n, μ, Σ) — the exact
+    Chan-et-al. parallel combine, so a multi-host FID equals the single-host
+    FID over the union of the feature sets."""
+    n = sum(m[0] for m in moments)
+    mu = sum(m[0] * m[1] for m in moments) / n
+    m2 = sum(m[2] for m in moments)
+    m2 = m2 + sum(m[0] * np.outer(m[1] - mu, m[1] - mu) for m in moments)
+    return n, mu, m2 / (n - 1.0)
+
 
 # ---------------------------------------------------------------------------
 # Feature extractors
@@ -212,6 +233,7 @@ class FIDMetric:
         self.seed = seed
         self._real: Optional[FeatureStats] = None
         self._fake: Optional[FeatureStats] = None
+        self._merged = None  # (mu_r, sig_r, mu_f, sig_f) after a cross-process merge
 
     def _build(self, batch):
         if self.feature_fn is None:
@@ -230,11 +252,35 @@ class FIDMetric:
         self._fake.update(self.feature_fn(fake_minibatch))
 
     def reset_states(self) -> None:
+        self._merged = None
         if self._real is not None:
             self._real.reset()
             self._fake.reset()
 
+    def cross_process_merge(self, allgather) -> None:
+        """Pool this process's streaming moments with every other process's so
+        ``result()`` is the GLOBAL FID over all hosts' (reals, fakes) — exact,
+        cheap (two (D,)+(D,D) exchanges), closing the per-process-estimate gap
+        of multi-host evaluation. ``allgather(array) -> [per-process arrays]``
+        (jax multihost_utils.process_allgather in production; injectable)."""
+
+        def pooled(stats: FeatureStats):
+            n, mu, m2 = stats.moments()
+            ns = allgather(np.float64([n]))
+            mus = allgather(mu)
+            m2s = allgather(m2)
+            triples = [(float(np.asarray(a)[0]), np.asarray(b), np.asarray(c))
+                       for a, b, c in zip(ns, mus, m2s)]
+            _, mu_g, sig_g = merge_feature_moments(triples)
+            return mu_g, sig_g
+
+        mu_r, sig_r = pooled(self._real)
+        mu_f, sig_f = pooled(self._fake)
+        self._merged = (mu_r, sig_r, mu_f, sig_f)
+
     def result(self) -> float:
+        if self._merged is not None:
+            return frechet_distance(*self._merged)
         mu_r, sig_r = self._real.finalize()
         mu_f, sig_f = self._fake.finalize()
         return frechet_distance(mu_r, sig_r, mu_f, sig_f)

@@ -194,6 +194,9 @@ class Trainer:
         self._stop = False
         self._gen_loss_carry = None
         self._metric_pack_fn = None
+        # Cross-host allgather used by evaluate(global_aggregate=True);
+        # None -> jax multihost_utils at call time (injectable for tests).
+        self._allgather_fn = None
         self._maybe_restore()
         # Host mirrors of the device counters: the dispatch path must never
         # read a device scalar (that blocks on the in-flight step and kills
@@ -672,7 +675,8 @@ class Trainer:
                 print(f"[metrics @ {self.samples_seen}] {pretty}")
 
     def evaluate(self, num_samples: int = 1000, metrics=None,
-                 seed: int = 1234) -> Dict[str, float]:
+                 seed: int = 1234,
+                 global_aggregate: bool = True) -> Dict[str, float]:
         """On-demand SWD/FID between dataset reals and fresh generator samples
         (the capability of the reference's metric callbacks, callbacks.py:
         138-206, decoupled from the training cadence).
@@ -680,11 +684,15 @@ class Trainer:
         ``metrics``: list of metric objects with the update_state/result
         protocol; defaults to a fresh SWDMetric + FIDMetric pair.
 
-        Multi-process scope: each process scores its OWN ``num_samples``
-        local (reals, fakes) pairs; the returned/logged numbers are process 0's
-        local estimate, not a global cross-host aggregate — logged under
-        ``eval_localshard_*`` on multi-process runs (``eval_*`` when
-        single-process) so the scope is visible in the record.
+        Multi-process scope: each process accumulates over its OWN
+        ``num_samples`` local (reals, fakes) pairs; with ``global_aggregate``
+        (default) metric state is then pooled across hosts
+        (``cross_process_merge``: exact moment merge for FID, descriptor
+        union for SWD) so the logged ``eval_*`` numbers are the true global
+        measurement over ``num_samples × process_count`` pairs. Metrics
+        without a ``cross_process_merge`` method stay process-local, and the
+        results are then logged under ``eval_localshard_*`` so the narrower
+        scope is visible in the record.
         """
         from blurred_gan_tpu.metrics import FIDMetric, SWDMetric
 
@@ -724,6 +732,21 @@ class Trainer:
             for m in metrics:
                 m.update_state(reals[:k_n], fakes_local[:k_n])
             done += k_n
+        aggregated = True
+        if n_proc > 1 and global_aggregate:
+            allgather = self._allgather_fn
+            if allgather is None:
+                from jax.experimental import multihost_utils
+
+                def allgather(x):
+                    return list(np.asarray(
+                        multihost_utils.process_allgather(jnp.asarray(x))))
+            for m in metrics:
+                merge = getattr(m, "cross_process_merge", None)
+                if merge is not None:
+                    merge(allgather)
+                else:
+                    aggregated = False
         out: Dict[str, float] = {}
         for m in metrics:
             if hasattr(m, "results"):
@@ -731,7 +754,8 @@ class Trainer:
             else:
                 out[m.name] = float(m.result())
             m.reset_states()
-        prefix = "eval_" if n_proc == 1 else "eval_localshard_"
+        prefix = ("eval_" if n_proc == 1 or (global_aggregate and aggregated)
+                  else "eval_localshard_")
         self.logger.scalars(self.samples_seen, out, prefix=prefix)
         return out
 

@@ -276,6 +276,86 @@ class TestFeatureStatsPrecision:
 
 
 # ---------------------------------------------------------------------------
+# Cross-process metric aggregation (round-2 ADVICE #3, solved not documented)
+# ---------------------------------------------------------------------------
+
+
+class TestCrossProcessMetricMerge:
+    def test_fid_moment_merge_matches_f64_cov_of_union(self):
+        from blurred_gan_tpu.metrics.fid import merge_feature_moments
+
+        rng = np.random.RandomState(0)
+        d = 32
+        x1 = (rng.randn(300, d) * 2 + 5).astype(np.float32)
+        x2 = (rng.randn(500, d) * 3 - 2).astype(np.float32)  # different dist
+        a, b = FeatureStats(d), FeatureStats(d)
+        for i in range(0, 300, 100):
+            a.update(jnp.asarray(x1[i:i + 100]))
+        for i in range(0, 500, 100):
+            b.update(jnp.asarray(x2[i:i + 100]))
+        n, mu, sig = merge_feature_moments([a.moments(), b.moments()])
+        union = np.concatenate([x1, x2]).astype(np.float64)
+        assert n == 800
+        np.testing.assert_allclose(mu, union.mean(0), atol=1e-5)
+        np.testing.assert_allclose(sig, np.cov(union, rowvar=False),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_fid_metric_cross_process_merge_equals_union_fid(self):
+        from blurred_gan_tpu.metrics import FIDMetric
+        from blurred_gan_tpu.metrics.fid import calculate_fid
+
+        rng = np.random.RandomState(1)
+        feat = lambda n, off: (rng.randn(n, 8) + off).astype(np.float32)
+        r1, f1 = feat(64, 0.0), feat(64, 1.0)
+        r2, f2 = feat(64, 0.2), feat(64, 0.8)
+        ident = lambda x: jnp.asarray(x).reshape(x.shape[0], -1)
+
+        proc_a = FIDMetric(feature_fn=ident)
+        proc_b = FIDMetric(feature_fn=ident)
+        proc_a.update_state(r1[:, :, None, None], f1[:, :, None, None])
+        proc_b.update_state(r2[:, :, None, None], f2[:, :, None, None])
+
+        # Fake 2-process allgather: proc B's arrays arrive in the same call
+        # order cross_process_merge requests proc A's.
+        queue = []
+        for stats in (proc_b._real, proc_b._fake):
+            n, mu, m2 = stats.moments()
+            queue += [np.float64([n]), mu, m2]
+        proc_a.cross_process_merge(lambda x: [np.asarray(x), queue.pop(0)])
+
+        expect = calculate_fid(np.concatenate([r1, r2]),
+                               np.concatenate([f1, f2]))
+        assert proc_a.result() == pytest.approx(expect, rel=1e-6)
+
+    def test_swd_descriptor_merge_equals_single_metric(self):
+        b1 = np.random.RandomState(2).rand(8, 16, 16, 1).astype(np.float32)
+        b2 = np.random.RandomState(3).rand(8, 16, 16, 1).astype(np.float32)
+        f1 = np.random.RandomState(4).rand(8, 16, 16, 1).astype(np.float32)
+        f2 = np.random.RandomState(5).rand(8, 16, 16, 1).astype(np.float32)
+
+        single = SWDMetric(nhoods_per_image=16)
+        single.update_state(b1, f1)
+        single.update_state(b2, f2)
+        expect = single.results()
+
+        proc_a = SWDMetric(nhoods_per_image=16)
+        proc_a.update_state(b1, f1)
+        proc_b = SWDMetric(nhoods_per_image=16)
+        proc_b._build(16, 1)
+        proc_b._n_updates = 1  # align the per-update patch RNG with `single`
+        proc_b.update_state(b2, f2)
+
+        queue = []
+        for bank in (proc_b.real_descriptors, proc_b.fake_descriptors):
+            for descs in bank:
+                queue.append(np.asarray(jnp.concatenate(descs, axis=0)))
+        proc_a.cross_process_merge(lambda x: [np.asarray(x), queue.pop(0)])
+        got = proc_a.results()
+        for k, v in expect.items():
+            assert got[k] == pytest.approx(v, rel=1e-4), k
+
+
+# ---------------------------------------------------------------------------
 # Generator dtype-boundary fast paths (round-3 profile-guided study)
 # ---------------------------------------------------------------------------
 

@@ -79,6 +79,16 @@ class VirtualCluster:
         self.barrier.wait()
         return self.result
 
+    def allgather(self, x):
+        """Rendezvous allgather for evaluate(global_aggregate=True)."""
+        pi = self.tl.pi
+        with self.lock:
+            self.contrib[f"ag{pi}"] = np.asarray(x)
+        self.barrier.wait()
+        out = [self.contrib[f"ag{i}"] for i in range(self.n)]
+        self.barrier.wait()
+        return out
+
 
 @contextmanager
 def _noop_interrupt(save_fn, defer=False):
@@ -176,7 +186,9 @@ class TestVirtualTwoProcessTraining:
 
                 state = tr.fit(total_examples=10_000, max_steps=5)
                 # 8x8 images are below the SWD pyramid's 16px floor; a small
-                # FID exercises the multi-host evaluate path.
+                # FID exercises the multi-host evaluate path — including the
+                # cross-process moment merge (global_aggregate default).
+                tr._allgather_fn = cluster.allgather
                 ev = tr.evaluate(num_samples=8,
                                  metrics=[FIDMetric(feature_dim=16)])
                 tr.close()
@@ -206,6 +218,17 @@ class TestVirtualTwoProcessTraining:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert np.isfinite(logs0["disc_loss"])
         assert ev0["FID"] >= 0.0 and np.isfinite(ev0["FID"])
+        # Globally-merged evaluation: both "hosts" report the SAME pooled FID
+        # and it is logged under eval_ (not eval_localshard_).
+        assert ev0["FID"] == pytest.approx(ev1["FID"])
+        import json as _json
+
+        events = [
+            _json.loads(line)
+            for line in open(tmp_path / "p0" / "events.jsonl")]
+        assert any("eval_FID" in r for r in events)
+        assert not any(any(k.startswith("eval_localshard_") for k in r)
+                       for r in events)
 
         # The first assembled training batch was built from DISJOINT
         # per-process shards of the same epoch permutation: process 0 and 1
