@@ -47,7 +47,14 @@ class CheckpointManager:
             enable_async_checkpointing=True,
         )
         self.directory = directory
-        self._mngr = ocp.CheckpointManager(directory, options=options)
+        # item_handlers up front: without them a freshly constructed manager
+        # (the resume-from-disk path) returns None from item_metadata, so the
+        # layout probes (_saved_n_img_is_scalar / _saved_has_ema_leaves)
+        # would see no evidence and never migrate.
+        self._mngr = ocp.CheckpointManager(
+            directory, options=options,
+            item_handlers={"state": ocp.StandardCheckpointHandler(),
+                           "aux": ocp.JsonCheckpointHandler()})
 
     def save(self, samples_seen: int, state, aux: Optional[Dict] = None) -> None:
         """Queue an async save keyed by examples seen."""
@@ -83,6 +90,23 @@ class CheckpointManager:
         # shape mismatches (round-2 ADVICE).
         is_legacy = (self._saved_n_img_is_scalar(step)
                      and hasattr(state_template, "n_img"))
+        # Pre-0.4 checkpoints have no ``g_ema``. Enabling EMA on resume of
+        # such a run (template carries EMA leaves, checkpoint doesn't) is
+        # migrated by restoring without the field and seeding the average
+        # from the restored generator weights.
+        saved_ema = self._saved_has_ema_leaves(step)  # None = unknown
+        seed_ema = (self._template_has_ema_leaves(state_template)
+                    and saved_ema is False)
+        if seed_ema:
+            state_template = state_template.replace(g_ema=())
+        elif (saved_ema is True
+              and not self._template_has_ema_leaves(state_template)):
+            # The run trained WITH an EMA but the caller's template was built
+            # without one (e.g. default hparams in an inference CLI): widen
+            # the template with a g_params-shaped g_ema so the saved average
+            # restores rather than erroring on the extra saved field.
+            state_template = state_template.replace(
+                g_ema=state_template.g_params)
         if is_legacy:
             template = self._legacy_counter_template(state_template)
             restored = _restore(template)
@@ -95,6 +119,14 @@ class CheckpointManager:
         else:
             restored = _restore(state_template)
             state = restored["state"]
+        if seed_ema:
+            import jax.numpy as jnp
+
+            # Copy, not alias: donated steps must not see one buffer twice.
+            state = state.replace(g_ema=jax.tree_util.tree_map(
+                jnp.copy, state.g_params))
+            print("[checkpoint] checkpoint predates the generator EMA - "
+                  "seeded g_ema from the restored generator weights")
         aux = dict(restored.get("aux") or {}) if has_aux else {}
         return state, aux, step
 
@@ -113,6 +145,27 @@ class CheckpointManager:
             return n_img is not None and tuple(n_img.shape) == ()
         except Exception:
             return False
+
+    @staticmethod
+    def _template_has_ema_leaves(state_template) -> bool:
+        return bool(jax.tree_util.tree_leaves(
+            getattr(state_template, "g_ema", ())))
+
+    def _saved_has_ema_leaves(self, step: int):
+        """Whether the checkpoint at ``step`` saved a non-empty ``g_ema`` —
+        True/False on positive metadata evidence, None when the metadata
+        cannot be read. Migration in either direction happens only on
+        positive evidence (None leaves the caller's template untouched so
+        the normal restore surfaces its own error, the round-2 ADVICE
+        direction)."""
+        try:
+            meta = self._mngr.item_metadata(step)["state"]
+            tree = getattr(meta, "tree", meta)
+            if not isinstance(tree, dict):  # unreadable metadata -> unknown
+                return None
+            return bool(jax.tree_util.tree_leaves(tree.get("g_ema")))
+        except Exception:
+            return None
 
     @staticmethod
     def _legacy_counter_template(state_template):

@@ -24,13 +24,24 @@ class TrainingConfig(JsonSerializable, ParseableFromCommandLine):
 
 @dataclass
 class WGANHyperParameters(JsonSerializable, ParseableFromCommandLine):
-    """WGAN.HyperParameters (wgan.py:34-43)."""
+    """WGAN.HyperParameters (wgan.py:34-43).
+
+    ``ema_decay``: exponential moving average of the *generator* parameters,
+    updated after every generator step (``ema = d·ema + (1−d)·params``) inside
+    the jitted train step. 0 (the default) disables it and keeps the state
+    layout identical to the reference's capture (wgan.py:70-71 has no EMA —
+    this is a beyond-parity addition; EMA'd weights are the standard GAN
+    practice for eval/sampling quality). When enabled, sample grids,
+    ``Trainer.evaluate`` and ``generate_samples.py --ema`` use the averaged
+    weights. Typical values 0.999–0.9999.
+    """
 
     learning_rate: float = 0.001
     d_steps_per_g_step: int = 1
     batch_size: int = 32           # per replica
     global_batch_size: int = 32    # batch_size * num replicas
     optimizer: str = "adam"
+    ema_decay: float = 0.0
 
 
 @dataclass

@@ -129,6 +129,10 @@ class TrainerConfig:
     # tag showing the critic's current view at σ>0.
     show_blurred_samples: bool = True
     save_sample_pngs: bool = True
+    # With hparams.ema_decay > 0, sample grids / evaluate() use the EMA
+    # generator weights (the standard convention); False samples the live
+    # weights even when an EMA is maintained.
+    sample_with_ema: bool = True
     log_dir: str = "results/log"
     checkpoint_dir: Optional[str] = None  # None/"" -> <log_dir>/checkpoints
     seed: int = 0
@@ -179,7 +183,9 @@ class Trainer:
         self.step_fn = make_train_step(gan, hparams, mesh=mesh,
                                        donate_state=True,
                                        state_shardings=state_shardings)
-        self.sample_fn = make_sample_fn(gan, mesh=mesh)
+        self._use_ema = (float(getattr(hparams, "ema_decay", 0.0) or 0.0) > 0
+                         and self.cfg.sample_with_ema)
+        self.sample_fn = make_sample_fn(gan, mesh=mesh, use_ema=self._use_ema)
         # Fixed latents for the sample grid — constant across the run
         # (callbacks.py:217-224).
         self.grid_latents = gan.sample_latents(grid_rng, 64)
@@ -772,6 +778,11 @@ class Trainer:
         with open(os.path.join(directory, "discriminator.msgpack"),
                   "wb") as f:
             f.write(fser.to_bytes({"params": self.state.d_params}))
+        if jax.tree_util.tree_leaves(self.state.g_ema):
+            with open(os.path.join(directory, "generator_ema.msgpack"),
+                      "wb") as f:
+                f.write(fser.to_bytes({"params": self.state.g_ema,
+                                       "batch_stats": self.state.g_stats}))
 
     def _aux_dict(self) -> Dict:
         aux = {}

@@ -114,6 +114,9 @@ class TrainState(flax.struct.PyTreeNode):
     # wide counter (base 2**30); decode with ``wide_value``.
     n_img: jnp.ndarray
     n_batches: jnp.ndarray   # scalar int32 step counter
+    # EMA of g_params (hparams.ema_decay > 0); () = disabled, so the default
+    # pytree has no extra leaves and old checkpoints stay structure-compatible.
+    g_ema: Any = ()
 
 
 def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformation:
@@ -146,6 +149,7 @@ def create_train_state(gan: GAN, hparams, rng, image_shape) -> TrainState:
     g_params = g_vars["params"]
     g_stats = g_vars.get("batch_stats", {})
     d_params = d_vars["params"]
+    use_ema = float(getattr(hparams, "ema_decay", 0.0) or 0.0) > 0.0
     return TrainState(
         g_params=g_params,
         g_stats=g_stats,
@@ -154,6 +158,11 @@ def create_train_state(gan: GAN, hparams, rng, image_shape) -> TrainState:
         d_opt_state=opt.init(d_params),
         n_img=wide_counter(0),
         n_batches=jnp.zeros((), jnp.int32),
+        # EMA starts AT the initial weights (the usual convention: a biased
+        # warm start converges to the trailing average as steps accumulate).
+        # jnp.copy, not aliasing: the step donates the state, and two state
+        # leaves sharing one buffer is a double-donation error.
+        g_ema=(jax.tree_util.tree_map(jnp.copy, g_params) if use_ema else ()),
     )
 
 

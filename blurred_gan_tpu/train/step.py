@@ -51,6 +51,8 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
     e_drift = getattr(hparams, "e_drift", 0.0)
     reference_grad_scale = getattr(hparams, "reference_grad_scale", False)
     use_gp = gp_coefficient is not None
+    ema_decay = float(getattr(hparams, "ema_decay", 0.0) or 0.0)
+    use_ema = ema_decay > 0.0
 
     def disc_loss_fn(d_params, reals, fakes, sigma, drop_rng, gp_rng):
         # One doubled-batch critic application instead of two: fewer kernel
@@ -103,18 +105,24 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
 
         # ---- generator step, every d_steps_per_g_step batches (wgan.py:105-106) ----
         def gen_branch(operand):
-            g_params, g_stats, g_opt_state = operand
+            g_params, g_stats, g_opt_state, g_ema = operand
             z_g = gan.sample_latents(k_zg, batch)
             (g_loss, new_stats), g_grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True)(g_params, g_stats, d_params, z_g, sigma)
             g_updates, new_g_opt = opt.update(g_grads, g_opt_state, g_params)
             new_g_params = jax.tree_util.tree_map(
                 lambda p, u: p + u, g_params, g_updates)
-            return new_g_params, new_stats, new_g_opt, g_loss
+            if use_ema:
+                # ema ← d·ema + (1−d)·params, after each generator update only
+                # (skipped disc-only steps leave the average untouched).
+                g_ema = jax.tree_util.tree_map(
+                    lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                    g_ema, new_g_params)
+            return new_g_params, new_stats, new_g_opt, g_ema, g_loss
 
         def skip_branch(operand):
-            g_params, g_stats, g_opt_state = operand
-            return g_params, g_stats, g_opt_state, jnp.float32(0.0)
+            g_params, g_stats, g_opt_state, g_ema = operand
+            return g_params, g_stats, g_opt_state, g_ema, jnp.float32(0.0)
 
         if hparams.d_steps_per_g_step == 1:
             # `n % 1 == 0` always: at the default setting the cond is dead
@@ -122,19 +130,21 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
             # step is specialised to a straight-line program (round-2 VERDICT
             # weak #2). Semantics are identical to the cond's true branch.
             do_gen = jnp.bool_(True)
-            g_params, g_stats, g_opt_state, g_loss = gen_branch(
-                (state.g_params, state.g_stats, state.g_opt_state))
+            g_params, g_stats, g_opt_state, g_ema, g_loss = gen_branch(
+                (state.g_params, state.g_stats, state.g_opt_state,
+                 state.g_ema))
         else:
             do_gen = (state.n_batches % hparams.d_steps_per_g_step) == 0
-            g_params, g_stats, g_opt_state, g_loss = jax.lax.cond(
+            g_params, g_stats, g_opt_state, g_ema, g_loss = jax.lax.cond(
                 do_gen, gen_branch, skip_branch,
-                (state.g_params, state.g_stats, state.g_opt_state))
+                (state.g_params, state.g_stats, state.g_opt_state,
+                 state.g_ema))
 
         new_state = state.replace(
             g_params=g_params, g_stats=g_stats, d_params=d_params,
             g_opt_state=g_opt_state, d_opt_state=d_opt_state,
             n_img=wide_add(state.n_img, batch),
-            n_batches=state.n_batches + 1)
+            n_batches=state.n_batches + 1, g_ema=g_ema)
 
         metrics = {
             "disc_loss": d_loss,
@@ -162,11 +172,18 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
     )
 
 
-def make_sample_fn(gan: GAN, mesh: Mesh | None = None):
-    """Jitted ``sample(state, latents) -> images`` (wgan.py:120-123 capability)."""
+def make_sample_fn(gan: GAN, mesh: Mesh | None = None, use_ema: bool = False):
+    """Jitted ``sample(state, latents) -> images`` (wgan.py:120-123 capability).
+
+    ``use_ema=True`` samples from the EMA generator weights (``state.g_ema``,
+    requires ``hparams.ema_decay > 0`` at state creation); BN statistics are
+    the live ``g_stats`` either way (the standard EMA convention — statistics
+    track the current data distribution, only the weights are averaged).
+    """
 
     def sample(state: TrainState, latents):
-        fakes, _ = gan.generate(state.g_params, state.g_stats, latents, train=False)
+        params = state.g_ema if use_ema else state.g_params
+        fakes, _ = gan.generate(params, state.g_stats, latents, train=False)
         return fakes
 
     if mesh is None:

@@ -28,6 +28,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--blur_std", type=float, default=None,
                    help="also blur the samples (view as the critic would)")
+    p.add_argument("--ema", action="store_true",
+                   help="sample from the EMA generator weights (requires a "
+                        "run trained with --ema_decay > 0)")
     args = p.parse_args()
 
     from blurred_gan_tpu.models import (celeba_discriminator, celeba_generator,
@@ -46,7 +49,13 @@ def main():
                   celeba_discriminator(args.resolution), blurred=True)
         shape = (args.resolution, args.resolution, 3)
 
-    hp = BlurredWGANGPHyperParameters()
+    from blurred_gan_tpu.train.checkpoint import load_sidecar
+
+    # The run's sidecar hparams (if present) carry ema_decay, so the restore
+    # template matches the checkpoint's state layout.
+    hp = (load_sidecar(args.log_dir, BlurredWGANGPHyperParameters,
+                       "hyper_parameters.json")
+          or BlurredWGANGPHyperParameters())
     template = create_train_state(gan, hp, jax.random.PRNGKey(0), shape)
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
     restored = ckpt.restore_latest(template)
@@ -54,8 +63,11 @@ def main():
         raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
     state, _, step = restored
     print(f"restored checkpoint @ {step} examples")
+    if args.ema and not jax.tree_util.tree_leaves(state.g_ema):
+        raise SystemExit("--ema: this run has no EMA weights "
+                         "(train with --ema_decay > 0)")
 
-    sample = make_sample_fn(gan)
+    sample = make_sample_fn(gan, use_ema=args.ema)
     z = gan.sample_latents(jax.random.PRNGKey(args.seed), args.n)
     imgs = sample(state, z)
     if args.blur_std is not None:
