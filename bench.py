@@ -141,6 +141,10 @@ def main():
                         "compute dtype instead of round-tripping through "
                         "float32 (stats still accumulate in f32; "
                         "models/dcgan.py bn_dtype/output_f32)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="maintain the generator-weight EMA inside the step "
+                        "(hparams.ema_decay) — measures the averaging's "
+                        "throughput cost")
     p.add_argument("--chunked", action="store_true",
                    help="measure the device-resident chunked path end-to-end "
                         "(HBM-parked dataset, on-device gather+normalise, "
@@ -160,7 +164,8 @@ def main():
                                        create_train_state, make_train_step)
 
     hp = BlurredWGANGPHyperParameters(batch_size=batch,
-                                      global_batch_size=batch)
+                                      global_batch_size=batch,
+                                      ema_decay=args.ema_decay)
     if args.gen_gate == "cond":
         import dataclasses
 

@@ -108,11 +108,17 @@ class TestGenStepSpecialisation:
             assert bool(ma["did_gen_step"]) and bool(mb["did_gen_step"])
             np.testing.assert_allclose(float(ma["gen_loss"]),
                                        float(mb["gen_loss"]), rtol=2e-5)
+        # atol matters: XLA:CPU fuses the cond-wrapped generator branch
+        # differently from the straight-line program, giving ~1e-7-level
+        # per-step float differences that 3 training steps amplify to ~2e-6
+        # ABSOLUTE on near-zero Adam moments (relative error there is pure
+        # noise amplification; measured max abs dev 1.7e-6, and on TPU the
+        # two programs are bit-identical — deviation exactly 0).
         for xa, xb in zip(jax.tree_util.tree_leaves(state_a),
                           jax.tree_util.tree_leaves(state_b)):
             np.testing.assert_allclose(np.asarray(xa, np.float64),
                                        np.asarray(xb, np.float64),
-                                       rtol=3e-5, atol=1e-6)
+                                       rtol=3e-5, atol=2e-5)
 
     def test_d2_still_gates_gen_updates(self):
         gan = micro_gan()
