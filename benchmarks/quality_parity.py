@@ -14,13 +14,17 @@ original harness hard-coded MNIST-28; the reference's flagship is CelebA):
 
 - ``mnist``    — the MNIST-28 demo config (/root/reference/demo_mnist.py:91-219):
   28×28×1, σ₀ = initial_blur_std = 0.05 (demo_mnist.py:199), 60k-example corpus.
-- ``celeba64`` — the CelebA demo config at 64² (the largest resolution whose
-  reference-side CPU training is background-feasible; 128² runs at ~8 img/s
-  here — BASELINE.md — so 60k examples would take >2h/seed): the CelebA
-  architectures with one fewer stage per side (exactly this repo's model zoo
-  at resolution=64), σ₀ = 5 exactly as the CelebA demo hard-codes it
+- ``celeba64`` — the CelebA demo config at 64²: the CelebA architectures
+  with one fewer stage per side (exactly this repo's model zoo at
+  resolution=64), σ₀ = 5 exactly as the CelebA demo hard-codes it
   (/root/reference/demo_celeba.py:226), 20k-example 64×64×3 corpus (matching
   the synthetic-CelebA fallback cap; 60k examples = 3 corpus epochs).
+- ``celeba128`` — the reference's FLAGSHIP config verbatim
+  (/root/reference/demo_celeba.py:51-124,226): the full 6-stage DCGAN pair
+  at 128×128×3, σ₀ = 5, 20k-example corpus. The reference side trains at
+  ~7-8 img/s on this container's CPU (~2.2 h per 60k-example seed) — long
+  but background-feasible, so the flagship surface is measured directly
+  rather than approximated at 64².
 
 ``train_ref`` trains the reference BlurredWGANGP on the SAME deterministic
 synthetic corpus the framework's demos fall back to (no egress in this
@@ -65,6 +69,7 @@ class ParityConfig:
 CONFIGS = {
     "mnist": ParityConfig("mnist", (28, 28, 1), 60_000, 0.05),
     "celeba64": ParityConfig("celeba64", (64, 64, 3), 20_000, 5.0),
+    "celeba128": ParityConfig("celeba128", (128, 128, 3), 20_000, 5.0),
 }
 
 
