@@ -24,4 +24,4 @@ This package rebuilds every one of those capabilities TPU-first:
                       TensorBoard + JSONL observability.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
