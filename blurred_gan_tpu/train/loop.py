@@ -45,6 +45,7 @@ from blurred_gan_tpu.train.state import (GAN, TrainState, create_train_state,
 from blurred_gan_tpu.train.step import make_sample_fn, make_train_step
 from blurred_gan_tpu.utils.images import normalize_images, samples_grid
 from blurred_gan_tpu.utils.logging import MetricsLogger
+from blurred_gan_tpu.utils.watchdog import fetch as watchdog_fetch
 from blurred_gan_tpu.ops.blur import blur_images
 
 
@@ -133,6 +134,17 @@ class TrainerConfig:
     # generator weights (the standard convention); False samples the live
     # weights even when an EMA is maintained.
     sample_with_ema: bool = True
+    # Device-hang watchdog (utils/watchdog.py): budget, PER TRAIN STEP, for
+    # the metric fetch — the one blocking read every training mode takes
+    # each iteration — raising DeviceHangError instead of hanging forever if
+    # the device wedges. The host loop's fetch awaits one step and uses the
+    # budget directly; device-resident mode awaits a whole scanned chunk and
+    # uses budget × chunk_steps. 0 disables (direct fetch, zero overhead).
+    # The FIRST fetch of each fit call additionally synchronises on the step
+    # program's compile and is budgeted by `first_device_fetch_timeout_s`
+    # (remote compiles take minutes).
+    device_fetch_timeout_s: float = 0.0
+    first_device_fetch_timeout_s: float = 3600.0
     log_dir: str = "results/log"
     checkpoint_dir: Optional[str] = None  # None/"" -> <log_dir>/checkpoints
     seed: int = 0
@@ -212,6 +224,9 @@ class Trainer:
         self._n_img_host = wide_value(self.state.n_img)
         self._build_hooks()
         self._last_metrics: Dict[str, float] = {}
+        # Device-hang watchdog: the first fetch of each fit call includes the
+        # step program's compile and gets the larger first-fetch budget.
+        self._fetch_warmed = False
 
     # ------------------------------------------------------------------ setup
 
@@ -339,6 +354,8 @@ class Trainer:
         ``max_steps`` steps this invocation, or the adaptive controller stops."""
         from blurred_gan_tpu.data.pipeline import DataPipeline
 
+        self._fetch_warmed = False  # this fit's first fetch awaits compile
+
         # Resume the deterministic data stream at the exact batch position
         # (epoch/offset index math over this process's shard). Multi-host:
         # every process takes a disjoint contiguous-stride shard of the SAME
@@ -448,6 +465,21 @@ class Trainer:
         self.logger.flush()
         return self.state
 
+    def _fetch(self, x, what: str, steps: int = 1):
+        """Materialise a device value under the configured hang watchdog.
+        ``steps`` = train steps the fetch synchronises on (chunked mode
+        awaits a whole scanned chunk), scaling the per-step budget. The
+        first fetch of a fit call synchronises on the step program's compile
+        and gets the (much larger) first-fetch budget."""
+        t = self.cfg.device_fetch_timeout_s
+        if t and t > 0:
+            t *= steps
+            if not self._fetch_warmed:
+                t = max(t, self.cfg.first_device_fetch_timeout_s)
+        out = watchdog_fetch(x, t, what=what)
+        self._fetch_warmed = True
+        return out
+
     def _pack_metrics(self, metrics):
         """(names, device vector) for a dict of scalar metrics — one jitted
         stack so the host fetches a single array per step."""
@@ -475,7 +507,8 @@ class Trainer:
         """Host-side work for one completed step: controller feedback,
         logging, hooks, image summaries, metric feeders. Fetching ``packed``
         synchronises on that step having finished."""
-        logs = dict(zip(names, np.asarray(packed, np.float64).tolist()))
+        logs = dict(zip(names, self._fetch(
+            packed, "step-metrics fetch").astype(np.float64).tolist()))
         self._fill_gen_loss(logs)
 
         if self.adaptive_controller is not None:
@@ -549,6 +582,7 @@ class Trainer:
         from blurred_gan_tpu.train.fast import (AdaptiveState, chunk_indices,
                                                 make_chunked_train_fn)
 
+        self._fetch_warmed = False  # first chunk fetch awaits compile
         assert hasattr(self.dataset, "images"), \
             "device-resident mode needs a memory-resident ArrayDataset"
         assert jax.process_count() == 1, \
@@ -601,7 +635,8 @@ class Trainer:
 
                 # Single device->host transfer for ALL per-step metrics (the
                 # packed matrix); the dict's leaves are never fetched.
-                packed_np = np.asarray(packed)
+                packed_np = self._fetch(packed, "chunk-metrics fetch",
+                                        steps=chunk_steps)
                 arrs = {k: packed_np[:, j]
                         for j, k in enumerate(sorted(stacked))}
                 executed = chunk_steps

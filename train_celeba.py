@@ -70,6 +70,13 @@ def main():
                              " ~9.5 GB; SWD/FID cadence measured at chunk"
                              " boundaries)")
     parser.add_argument("--chunk_steps", type=int, default=100)
+    parser.add_argument("--fetch_timeout_s", type=float, default=0.0,
+                        help="device-hang watchdog: per-train-step budget "
+                             "(seconds) for the metric fetch — chunked mode "
+                             "scales it by chunk_steps — failing with "
+                             "DeviceHangError instead of hanging if the "
+                             "device wedges (0 = off; resume from the "
+                             "latest checkpoint after a trip)")
     args = parser.parse_args()
 
     hparams = BlurredWGANGPHyperParameters.from_args(args)
@@ -122,6 +129,7 @@ def main():
             checkpoint_dir=config.checkpoint_dir,
             image_summaries_interval_batches=(
                 config.save_image_summaries_interval),
+            device_fetch_timeout_s=args.fetch_timeout_s,
             seed=args.seed),
         mesh=make_mesh(),
         blur_controller=blur_ctrl,
