@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 # Persistent compilation cache: the scanned train step is a multi-minute
@@ -113,6 +114,84 @@ def bench_chunked(gan, hp, batch, resolution, steps, on_tpu):
     print(json.dumps(out))
 
 
+def _emit_unreachable(reason: str, resolution: int) -> None:
+    """Honest one-line JSON when the device cannot run anything: the driver
+    contract is one JSON line, and an unbounded hang helps nobody. value is
+    null (no measurement), never a stale or fabricated number."""
+    print(json.dumps({
+        "metric": f"train_images_per_sec_celeba{resolution}_wgangp_blur",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": reason,
+    }))
+
+
+def _probe_once(timeout_s: float, salt: float):
+    """One tiny dispatch+fetch in a worker thread (the relay wedge observed
+    here hangs inside dispatch/compile, not only at fetch time). Returns the
+    scalar on success, None on deadline, raises on a real dispatch error.
+    ``salt`` varies the input so the probe can't be served from the relay's
+    execution cache (CLAUDE.md metrology)."""
+    import threading
+
+    import numpy as np
+
+    result: list = []
+
+    def run():
+        try:
+            x = jnp.full((128, 128), salt, jnp.bfloat16)
+            result.append(float(np.asarray(
+                jax.jit(lambda a: (a @ a).sum())(x))))
+        except BaseException as e:  # noqa: BLE001 — re-raised by caller
+            result.append(e)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not result:
+        return None
+    if isinstance(result[0], BaseException):
+        raise result[0]
+    return result[0]
+
+
+def _device_preflight(resolution: int) -> bool:
+    """Confirm the attached device actually completes a trivial program
+    before investing in the multi-minute bench compile. The remote-TPU
+    relay this container uses can wedge mid-session (observed: every
+    dispatch blocking indefinitely for hours); retry within a budget in
+    case it recovers, then emit the honest unreachable JSON. Returns True
+    when the device is healthy."""
+    budget_s = float(os.environ.get("BENCH_PREFLIGHT_BUDGET_S", "2700"))
+    probe_s = float(os.environ.get("BENCH_PREFLIGHT_PROBE_S", "180"))
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            val = _probe_once(probe_s, float(attempt))
+        except Exception as e:  # noqa: BLE001 — terminal dispatch error
+            _emit_unreachable(f"device probe raised: {e!r}", resolution)
+            return False
+        if val is not None:
+            if attempt > 1:
+                print(f"[bench] device recovered on probe {attempt}",
+                      file=sys.stderr, flush=True)
+            return True
+        remaining = deadline - time.time()
+        print(f"[bench] device probe hung ({probe_s:.0f}s); "
+              f"{max(remaining, 0):.0f}s of retry budget left",
+              file=sys.stderr, flush=True)
+        if remaining <= 0:
+            _emit_unreachable(
+                f"device unresponsive: {attempt} probes hung over "
+                f"{budget_s:.0f}s", resolution)
+            return False
+        time.sleep(min(60.0, max(remaining, 1.0)))
+
+
 def main():
     import argparse
 
@@ -152,6 +231,16 @@ def main():
                         "host index generation per chunk) instead of the "
                         "data-free scanned step")
     args = p.parse_args()
+
+    # Preflight BEFORE any backend-initialising jax call: PJRT client init
+    # itself rides the relay and is where a wedged session blocks (observed —
+    # jax.default_backend() never returned). The probe performs the init
+    # inside its bounded worker thread. Skipped only when the env explicitly
+    # pins CPU (local backend cannot wedge; probe would just waste time).
+    env_platforms = os.environ.get("JAX_PLATFORMS", "").lower()
+    maybe_remote = env_platforms not in ("cpu",)
+    if maybe_remote and not _device_preflight(args.resolution or 128):
+        return
 
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
@@ -232,18 +321,34 @@ def main():
     # awaits it. The (steps,)-float fetch adds ~1 RTT identically per rep.
     import numpy as np
 
-    state2, losses = run(state, reals)  # compile + warmup
-    warm = np.asarray(losses)
-    dt = float("inf")
-    for rep in range(3 if on_tpu else 1):
-        reals2 = reals * jnp.float32(0.999 - 1e-3 * rep)
-        t0 = time.perf_counter()
-        state3, losses = run(state2, reals2)
-        vals = np.asarray(losses)  # forces + awaits the timed execution
-        dt = min(dt, time.perf_counter() - t0)
-        assert np.isfinite(vals).all() and not np.array_equal(vals, warm), \
-            "timed run returned warmup's values — relay served a stale result"
-        state2 = state3
+    from blurred_gan_tpu.utils.watchdog import DeviceHangError, fetch
+
+    # Bounded fetches: a relay wedge striking mid-bench must fail loudly
+    # (honest null JSON), not hang the driver. The warmup fetch includes the
+    # multi-minute remote compile and gets its own budget; steady-state
+    # fetches await ~50 steps and get a tight one. 0 disables both.
+    compile_budget = float(os.environ.get("BENCH_COMPILE_TIMEOUT_S", "3600"))
+    fetch_budget = float(os.environ.get("BENCH_FETCH_TIMEOUT_S", "600"))
+    if not on_tpu:
+        compile_budget = fetch_budget = 0.0  # local CPU cannot wedge
+
+    try:
+        state2, losses = run(state, reals)  # compile + warmup
+        warm = fetch(losses, compile_budget, what="bench warmup (compile)")
+        dt = float("inf")
+        for rep in range(3 if on_tpu else 1):
+            reals2 = reals * jnp.float32(0.999 - 1e-3 * rep)
+            t0 = time.perf_counter()
+            state3, losses = run(state2, reals2)
+            # forces + awaits the timed execution
+            vals = fetch(losses, fetch_budget, what="bench timed fetch")
+            dt = min(dt, time.perf_counter() - t0)
+            assert np.isfinite(vals).all() and not np.array_equal(vals, warm), \
+                "timed run returned warmup's values — relay served a stale result"
+            state2 = state3
+    except DeviceHangError as e:
+        _emit_unreachable(f"device wedged mid-bench: {e}", resolution)
+        return
 
     images_per_sec = steps * batch / dt
     ms_per_step = dt / steps * 1e3
