@@ -173,7 +173,11 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int) -> None:
                      log_dir=run_dir, seed=seed,
                      sample_grid_every_n_examples=0,
                      checkpoint_every_n_examples=0,
-                     image_summaries_interval_batches=0),
+                     image_summaries_interval_batches=0,
+                     # A relay wedge mid-run must fail the seed loudly (the
+                     # harness reruns it) instead of hanging the pipeline
+                     # (observed: a wedged seed stalled the whole sweep).
+                     device_fetch_timeout_s=120.0),
                  blur_controller=ctrl)
     t0 = time.time()
     state = tr.fit(total_examples=examples)
