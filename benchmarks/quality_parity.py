@@ -153,7 +153,13 @@ def train_ref(cfg: ParityConfig, examples: int, out: str, seed: int) -> None:
     print(json.dumps(meta))
 
 
-def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int) -> None:
+def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
+               ema_decay: float = 0.0) -> None:
+    """``ema_decay > 0`` additionally maintains the in-step generator-weight
+    EMA and samples the evaluation set from the AVERAGED weights — the A/B
+    measuring what the EMA feature buys in final sample quality (same seed,
+    same training trajectory; only the sampled weights differ). Outputs land
+    as ``ours_ema_*`` so both arms of a seed can coexist."""
     sys.path.insert(0, REPO)
     import jax
     import jax.numpy as jnp
@@ -164,10 +170,12 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int) -> None:
     gen, disc = _our_models(cfg)
     gan = GAN(gen, disc, blurred=True)
     hp = BlurredWGANGPHyperParameters(batch_size=BATCH,
-                                      global_batch_size=BATCH)
+                                      global_batch_size=BATCH,
+                                      ema_decay=ema_decay)
     ds = _corpus(cfg)
     ctrl = _sigma_controller(cfg, examples)
-    run_dir = os.path.join(out, f"ours_log_s{seed}")
+    prefix = "ours_ema" if ema_decay else "ours"
+    run_dir = os.path.join(out, f"{prefix}_log_s{seed}")
     tr = Trainer(gan, hp, ds,
                  trainer_config=TrainerConfig(
                      log_dir=run_dir, seed=seed,
@@ -184,18 +192,21 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int) -> None:
     elapsed = time.time() - t0
 
     latents = jnp.asarray(_eval_latents())
+    g_weights = state.g_ema if ema_decay else state.g_params
     samples = np.concatenate(
-        [np.asarray(gan.generate(state.g_params, state.g_stats,
+        [np.asarray(gan.generate(g_weights, state.g_stats,
                                  latents[i:i + 100], train=False)[0])
          for i in range(0, N_EVAL, 100)])
     tr.close()
     os.makedirs(out, exist_ok=True)
-    np.savez(os.path.join(out, f"ours_samples_s{seed}.npz"), samples=samples)
+    np.savez(os.path.join(out, f"{prefix}_samples_s{seed}.npz"),
+             samples=samples)
     meta = {"framework": "blurred_gan_tpu", "config": cfg.name, "seed": seed,
             "examples": examples, "backend": jax.default_backend(),
+            "ema_decay": ema_decay,
             "images_per_sec": round(examples / elapsed, 2),
             "elapsed_s": round(elapsed, 1)}
-    with open(os.path.join(out, f"ours_meta_s{seed}.json"), "w") as f:
+    with open(os.path.join(out, f"{prefix}_meta_s{seed}.json"), "w") as f:
         json.dump(meta, f)
     print(json.dumps(meta))
 
@@ -235,10 +246,11 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
 
     rows = {"reals_floor": score("reals_vs_reals", reals_b)}
     for seed in seeds:
-        for side in ("ref", "ours"):
+        for side in ("ref", "ours", "ours_ema"):
             path = os.path.join(out, f"{side}_samples_s{seed}.npz")
             if not os.path.exists(path):
-                print(f"[skip] {path} missing", flush=True)
+                if side != "ours_ema":  # the EMA arm is optional
+                    print(f"[skip] {path} missing", flush=True)
                 continue
             with np.load(path) as d:
                 rows[f"{side}_s{seed}"] = score(f"{side}_s{seed}",
@@ -257,6 +269,15 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
                     gaps[k] = round((o[k] - r[k]) / abs(r[k]), 4)
             print(json.dumps({"rel_gap_ours_vs_ref": gaps, "seed": seed}),
                   flush=True)
+    # EMA arm vs live-weights arm of the same seed (negative = EMA better).
+    for seed in seeds:
+        o, e = rows.get(f"ours_s{seed}"), rows.get(f"ours_ema_s{seed}")
+        if o and e:
+            gaps = {k: round((e[k] - o[k]) / abs(o[k]), 4)
+                    for k in o
+                    if k.lower().startswith(("swd", "fid")) and o[k] != 0}
+            print(json.dumps({"rel_gap_ema_vs_live": gaps, "seed": seed}),
+                  flush=True)
 
 
 if __name__ == "__main__":
@@ -268,6 +289,11 @@ if __name__ == "__main__":
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--seeds", type=str, default="0")
     p.add_argument("--inception", action="store_true")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="train_ours: maintain the generator-weight EMA and "
+                        "sample the eval set from the averaged weights "
+                        "(outputs named ours_ema_*; evaluate scores them "
+                        "when present)")
     p.add_argument("--inception_size", type=int, default=75,
                    help="Inception input resize for scoring; 75 is the fast "
                         "default used throughout BASELINE.md (a deviation "
@@ -279,7 +305,8 @@ if __name__ == "__main__":
     if args.cmd == "train_ref":
         train_ref(cfg, args.examples, args.out, args.seed)
     elif args.cmd == "train_ours":
-        train_ours(cfg, args.examples, args.out, args.seed)
+        train_ours(cfg, args.examples, args.out, args.seed,
+                   ema_decay=args.ema_decay)
     else:
         evaluate(cfg, args.out, [int(s) for s in args.seeds.split(",")],
                  args.inception, args.inception_size)
