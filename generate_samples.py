@@ -31,6 +31,15 @@ def main():
     p.add_argument("--ema", action="store_true",
                    help="sample from the EMA generator weights (requires a "
                         "run trained with --ema_decay > 0)")
+    p.add_argument("--interpolate", action="store_true",
+                   help="latent-space interpolation grid instead of random "
+                        "samples: each row walks evenly between two random "
+                        "latents (linear — the prior is uniform, wgan.py:118; "
+                        "smooth rows indicate a well-behaved latent space)")
+    p.add_argument("--rows", type=int, default=8,
+                   help="interpolation rows (independent endpoint pairs)")
+    p.add_argument("--steps", type=int, default=8,
+                   help="interpolation steps per row (grid columns)")
     args = p.parse_args()
 
     from blurred_gan_tpu.models import (celeba_discriminator, celeba_generator,
@@ -68,14 +77,27 @@ def main():
                          "(train with --ema_decay > 0)")
 
     sample = make_sample_fn(gan, use_ema=args.ema)
-    z = gan.sample_latents(jax.random.PRNGKey(args.seed), args.n)
+    if args.interpolate:
+        # R endpoint pairs, S evenly-spaced points each: row r walks from
+        # za[r] to zb[r]. Linear interpolation matches the uniform prior.
+        z2 = gan.sample_latents(jax.random.PRNGKey(args.seed),
+                                2 * args.rows)
+        za, zb = z2[:args.rows], z2[args.rows:]
+        t = jnp.linspace(0.0, 1.0, args.steps)[None, :, None]
+        z = (za[:, None, :] * (1.0 - t)
+             + zb[:, None, :] * t).reshape(args.rows * args.steps, -1)
+        grid = (args.rows, args.steps)
+        default_name = f"{args.log_dir}/interpolate_{step:08d}.png"
+    else:
+        z = gan.sample_latents(jax.random.PRNGKey(args.seed), args.n)
+        side = int(np.ceil(np.sqrt(args.n)))
+        grid = (side, side)
+        default_name = f"{args.log_dir}/generated_{step:08d}.png"
     imgs = sample(state, z)
     if args.blur_std is not None:
         imgs = blur_images(imgs, jnp.float32(args.blur_std))
-    out = args.out or f"{args.log_dir}/generated_{step:08d}.png"
-    side = int(np.ceil(np.sqrt(args.n)))
-    save_image_grid(normalize_images(np.asarray(imgs)), out,
-                    grid=(side, side))
+    out = args.out or default_name
+    save_image_grid(normalize_images(np.asarray(imgs)), out, grid=grid)
     print(f"wrote {out}")
     ckpt.close()
 

@@ -43,6 +43,39 @@ class TestGenerateSamplesCLI:
         img = np.asarray(Image.open(out))
         assert img.shape[0] >= 28 and img.shape[1] >= 28
 
+    def test_interpolation_grid(self, tmp_path, monkeypatch):
+        """--interpolate writes an R x S grid walking between latent pairs."""
+        from blurred_gan_tpu.models import mnist_discriminator, mnist_generator
+        from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
+                                           CheckpointManager,
+                                           create_train_state)
+
+        gan = GAN(mnist_generator(), mnist_discriminator(), blurred=True)
+        hp = BlurredWGANGPHyperParameters()
+        state = create_train_state(gan, hp, jax.random.PRNGKey(3), (28, 28, 1))
+        mngr = CheckpointManager(str(tmp_path / "checkpoints"))
+        mngr.save(128, state)
+        mngr.wait_until_finished()
+        mngr.close()
+
+        out = tmp_path / "interp.png"
+        monkeypatch.setattr(sys, "argv", [
+            "generate_samples.py", "--log_dir", str(tmp_path),
+            "--dataset", "mnist", "--interpolate", "--rows", "2",
+            "--steps", "5", "--out", str(out)])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        import generate_samples
+
+        generate_samples.main()
+        from PIL import Image
+
+        img = np.asarray(Image.open(str(out)))
+        # 2 rows x 5 cols of 28x28 tiles (any padding only grows it).
+        assert img.shape[0] >= 2 * 28 and img.shape[1] >= 5 * 28
+        assert img.shape[1] > img.shape[0]  # wider than tall: row-major grid
+
     def test_missing_checkpoint_exits_loudly(self, tmp_path, monkeypatch):
         monkeypatch.setattr(sys, "argv", [
             "generate_samples.py", "--log_dir", str(tmp_path),
