@@ -185,7 +185,10 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
                      # A relay wedge mid-run must fail the seed loudly (the
                      # harness reruns it) instead of hanging the pipeline
                      # (observed: a wedged seed stalled the whole sweep).
-                     device_fetch_timeout_s=120.0),
+                     # Remote backends only: a local CPU step at 128² can
+                     # legitimately exceed any sane per-step deadline.
+                     device_fetch_timeout_s=(
+                         0.0 if jax.default_backend() == "cpu" else 120.0)),
                  blur_controller=ctrl)
     t0 = time.time()
     state = tr.fit(total_examples=examples)
