@@ -224,6 +224,11 @@ def main():
                    help="maintain the generator-weight EMA inside the step "
                         "(hparams.ema_decay) — measures the averaging's "
                         "throughput cost")
+    p.add_argument("--gp_every", type=int, default=1,
+                   help="lazy regularisation: apply the gradient penalty "
+                        "every N critic steps (scaled by N; "
+                        "hparams.gp_every_n_steps) — skips the GP "
+                        "double-backward on the other steps")
     p.add_argument("--chunked", action="store_true",
                    help="measure the device-resident chunked path end-to-end "
                         "(HBM-parked dataset, on-device gather+normalise, "
@@ -254,7 +259,8 @@ def main():
 
     hp = BlurredWGANGPHyperParameters(batch_size=batch,
                                       global_batch_size=batch,
-                                      ema_decay=args.ema_decay)
+                                      ema_decay=args.ema_decay,
+                                      gp_every_n_steps=args.gp_every)
     if args.gen_gate == "cond":
         import dataclasses
 
@@ -392,6 +398,8 @@ def main():
         out["gen_gate"] = args.gen_gate
     if args.fast_gen:
         out["fast_gen"] = True
+    if args.gp_every != 1:
+        out["gp_every"] = args.gp_every
     print(json.dumps(out))
 
 

@@ -64,7 +64,8 @@ def gradient_penalty(critic_fn, reals, fakes, rng, *, alpha=None):
 def wgangp_discriminator_loss(critic_fn_eval, reals, fakes, real_scores,
                               fake_scores, rng, *, global_batch_size,
                               gp_coefficient=10.0, e_drift=1e-4,
-                              alpha=None, reference_grad_scale=False):
+                              alpha=None, reference_grad_scale=False,
+                              include_gp=True):
     """Full WGAN-GP critic loss (wgan.py:272-285). Returns (loss, aux dict).
 
     ``reference_grad_scale=True`` reproduces the reference's *gradient*
@@ -78,8 +79,13 @@ def wgangp_discriminator_loss(critic_fn_eval, reals, fakes, real_scores,
     same loss value as the reference's Mean metric.
     """
     base = wgan_discriminator_loss(real_scores, fake_scores, global_batch_size)
-    gp_term = gp_coefficient * gradient_penalty(critic_fn_eval, reals, fakes,
-                                                rng, alpha=alpha)
+    # ``include_gp`` is a Python-static switch (lazy regularisation,
+    # hparams.gp_every_n_steps): False builds the loss graph WITHOUT the
+    # penalty's double-backward — the point of skipping — rather than
+    # multiplying it by zero and hoping DCE removes it.
+    gp_term = (gp_coefficient * gradient_penalty(critic_fn_eval, reals, fakes,
+                                                 rng, alpha=alpha)
+               if include_gp else jnp.float32(0.0))
     norm_term = e_drift * jnp.mean(jnp.abs(fake_scores) + jnp.abs(real_scores))
     loss = base + gp_term + norm_term
     if reference_grad_scale:

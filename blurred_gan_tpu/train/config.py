@@ -58,6 +58,14 @@ class WGANGPHyperParameters(WGANHyperParameters):
     e_drift: float = 1e-4
     gp_coefficient: float = 10.0
     reference_grad_scale: bool = False
+    # Lazy regularisation (beyond-parity, off by default): apply the gradient
+    # penalty only every N critic steps, scaled by N so the time-averaged
+    # regularisation pressure is unchanged (the StyleGAN2 lazy-R1 argument
+    # applied to WGAN-GP). N=1 keeps the reference's every-step semantics and
+    # compiles to the identical straight-line program; N>1 skips the GP
+    # double-backward — the most expensive part of the critic update — on
+    # (N-1)/N of the steps.
+    gp_every_n_steps: int = 1
 
 
 @dataclass

@@ -54,30 +54,52 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
     ema_decay = float(getattr(hparams, "ema_decay", 0.0) or 0.0)
     use_ema = ema_decay > 0.0
 
-    def disc_loss_fn(d_params, reals, fakes, sigma, drop_rng, gp_rng):
-        # One doubled-batch critic application instead of two: fewer kernel
-        # sequences and better MXU utilisation. Valid because D has no
-        # cross-sample ops (conv + leaky-relu + dropout only — dropout masks
-        # are per-element over the doubled batch, so fakes and reals each get
-        # independent masks and per-sample scores are identical to two calls
-        # up to the RNG stream). The reference's two separate calls are
-        # wgan.py:136-137.
-        scores = gan.critic(d_params, jnp.concatenate([fakes, reals], axis=0),
-                            sigma, train=True, rng=drop_rng)
-        fake_scores, real_scores = jnp.split(scores, 2, axis=0)
-        if use_gp:
-            critic_eval = lambda x: gan.critic(d_params, x, sigma, train=False)
-            loss, aux = wgangp_discriminator_loss(
-                critic_eval, reals, fakes, real_scores, fake_scores, gp_rng,
-                global_batch_size=global_bs, gp_coefficient=gp_coefficient,
-                e_drift=e_drift, reference_grad_scale=reference_grad_scale)
-        else:
-            loss = wgan_discriminator_loss(real_scores, fake_scores, global_bs)
-            aux = {"wgan_loss": loss,
-                   "gp_term": jnp.float32(0.0), "norm_term": jnp.float32(0.0)}
-        aux["fake_scores"] = jnp.mean(fake_scores)
-        aux["real_scores"] = jnp.mean(real_scores)
-        return loss, aux
+    gp_every = int(getattr(hparams, "gp_every_n_steps", 1) or 1)
+    lazy_gp = use_gp and gp_every > 1
+
+    def make_disc_loss_fn(with_gp: bool):
+        """``with_gp`` is Python-static: the False variant's graph simply has
+        no penalty double-backward (lazy regularisation's skipped steps)."""
+
+        def disc_loss_fn(d_params, reals, fakes, sigma, drop_rng, gp_rng):
+            # One doubled-batch critic application instead of two: fewer
+            # kernel sequences and better MXU utilisation. Valid because D
+            # has no cross-sample ops (conv + leaky-relu + dropout only —
+            # dropout masks are per-element over the doubled batch, so fakes
+            # and reals each get independent masks and per-sample scores are
+            # identical to two calls up to the RNG stream). The reference's
+            # two separate calls are wgan.py:136-137.
+            scores = gan.critic(d_params,
+                                jnp.concatenate([fakes, reals], axis=0),
+                                sigma, train=True, rng=drop_rng)
+            fake_scores, real_scores = jnp.split(scores, 2, axis=0)
+            if use_gp:
+                critic_eval = lambda x: gan.critic(d_params, x, sigma,
+                                                   train=False)
+                # Lazy mode scales the applied penalty by gp_every so the
+                # time-averaged regularisation pressure matches every-step
+                # application (StyleGAN2's lazy-regularisation argument).
+                loss, aux = wgangp_discriminator_loss(
+                    critic_eval, reals, fakes, real_scores, fake_scores,
+                    gp_rng, global_batch_size=global_bs,
+                    gp_coefficient=gp_coefficient * (gp_every if lazy_gp
+                                                     else 1),
+                    e_drift=e_drift,
+                    reference_grad_scale=reference_grad_scale,
+                    include_gp=with_gp)
+            else:
+                loss = wgan_discriminator_loss(real_scores, fake_scores,
+                                               global_bs)
+                aux = {"wgan_loss": loss, "gp_term": jnp.float32(0.0),
+                       "norm_term": jnp.float32(0.0)}
+            aux["fake_scores"] = jnp.mean(fake_scores)
+            aux["real_scores"] = jnp.mean(real_scores)
+            return loss, aux
+
+        return disc_loss_fn
+
+    disc_loss_fn = make_disc_loss_fn(True)
+    disc_loss_fn_nogp = make_disc_loss_fn(False) if lazy_gp else None
 
     def gen_loss_fn(g_params, g_stats, d_params, z, sigma):
         (fakes, new_vars) = gan.generate(g_params, g_stats, z, train=True)
@@ -96,8 +118,22 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
         # ---- discriminator step (wgan.py:132-151) ----
         z_d = gan.sample_latents(k_zd, batch)
         fakes, _ = gan.generate(state.g_params, state.g_stats, z_d, train=False)
-        (d_loss, aux), d_grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(
-            state.d_params, reals, fakes, sigma, k_drop, k_gp)
+        if lazy_gp:
+            # Gate the penalty's double-backward on the step counter; both
+            # branches return identical ((loss, aux), grads) trees. The
+            # gating convention mirrors the generator gate: evaluated before
+            # the counter increments.
+            do_gp = (state.n_batches % gp_every) == 0
+            (d_loss, aux), d_grads = jax.lax.cond(
+                do_gp,
+                lambda a: jax.value_and_grad(disc_loss_fn, has_aux=True)(*a),
+                lambda a: jax.value_and_grad(disc_loss_fn_nogp,
+                                             has_aux=True)(*a),
+                (state.d_params, reals, fakes, sigma, k_drop, k_gp))
+        else:
+            (d_loss, aux), d_grads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True)(
+                state.d_params, reals, fakes, sigma, k_drop, k_gp)
         d_updates, d_opt_state = opt.update(d_grads, state.d_opt_state,
                                             state.d_params)
         d_params = jax.tree_util.tree_map(

@@ -1,0 +1,103 @@
+"""Lazy gradient-penalty regularisation (hparams.gp_every_n_steps).
+
+StyleGAN2's lazy-regularisation argument applied to WGAN-GP: the penalty is
+applied every N critic steps scaled by N, skipping the GP double-backward —
+the most expensive part of the critic update — on the other steps. N=1 (the
+default) is the reference's every-step semantics (wgan.py:272-285).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from blurred_gan_tpu.train import (
+    BlurredWGANGPHyperParameters,
+    create_train_state,
+    make_train_step,
+)
+
+from test_train_loop import micro_gan, micro_hparams
+
+
+def _run_steps(step, state, n, rng):
+    out = []
+    for i in range(n):
+        reals = jax.random.uniform(jax.random.fold_in(rng, 500 + i),
+                                   (8, 16, 16, 1), jnp.float32, -1, 1)
+        state, metrics, _ = step(state, reals, jnp.float32(0.7),
+                                 jax.random.fold_in(rng, i))
+        out.append(metrics)
+    return state, out
+
+
+class TestLazyGP:
+    def test_default_is_every_step(self):
+        hp = micro_hparams()
+        assert hp.gp_every_n_steps == 1
+        gan = micro_gan()
+        state = create_train_state(gan, hp, jax.random.PRNGKey(0),
+                                   (16, 16, 1))
+        step = make_train_step(gan, hp, donate_state=False)
+        _, ms = _run_steps(step, state, 2, jax.random.PRNGKey(1))
+        assert all(float(m["gp_term"]) > 0 for m in ms)
+
+    def test_cadence_every_2(self):
+        """gp_term is nonzero exactly on steps where n_batches % 2 == 0
+        (evaluated before the increment — the generator gate's convention)."""
+        hp = micro_hparams(gp_every_n_steps=2)
+        gan = micro_gan()
+        state = create_train_state(gan, hp, jax.random.PRNGKey(0),
+                                   (16, 16, 1))
+        step = make_train_step(gan, hp, donate_state=False)
+        _, ms = _run_steps(step, state, 4, jax.random.PRNGKey(1))
+        gp = [float(m["gp_term"]) for m in ms]
+        assert gp[0] > 0 and gp[2] > 0       # n_batches 0, 2
+        assert gp[1] == 0.0 and gp[3] == 0.0  # n_batches 1, 3
+
+    def test_applied_step_equals_scaled_every_step(self):
+        """On a step where lazy GP fires, the update is bit-identical to an
+        every-step run whose gp_coefficient is pre-scaled by N (that IS the
+        lazy semantics)."""
+        gan = micro_gan()
+        hp_lazy = micro_hparams(gp_every_n_steps=3)
+        hp_scaled = micro_hparams(
+            gp_coefficient=hp_lazy.gp_coefficient * 3)
+        state_a = create_train_state(gan, hp_lazy, jax.random.PRNGKey(0),
+                                     (16, 16, 1))
+        state_b = create_train_state(gan, hp_scaled, jax.random.PRNGKey(0),
+                                     (16, 16, 1))
+        step_a = make_train_step(gan, hp_lazy, donate_state=False)
+        step_b = make_train_step(gan, hp_scaled, donate_state=False)
+        rng = jax.random.PRNGKey(7)
+        reals = jax.random.uniform(jax.random.fold_in(rng, 9),
+                                   (8, 16, 16, 1), jnp.float32, -1, 1)
+        # n_batches = 0 -> the lazy branch applies the (scaled) penalty.
+        sa, ma, _ = step_a(state_a, reals, jnp.float32(0.7), rng)
+        sb, mb, _ = step_b(state_b, reals, jnp.float32(0.7), rng)
+        np.testing.assert_allclose(float(ma["gp_term"]), float(mb["gp_term"]),
+                                   rtol=1e-6)
+        for xa, xb in zip(jax.tree_util.tree_leaves(sa.d_params),
+                          jax.tree_util.tree_leaves(sb.d_params)):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                       rtol=2e-5, atol=1e-7)
+
+    def test_training_stays_finite(self):
+        hp = micro_hparams(gp_every_n_steps=2)
+        gan = micro_gan()
+        state = create_train_state(gan, hp, jax.random.PRNGKey(0),
+                                   (16, 16, 1))
+        step = make_train_step(gan, hp, donate_state=False)
+        state, ms = _run_steps(step, state, 4, jax.random.PRNGKey(3))
+        assert all(np.isfinite(float(m["disc_loss"])) for m in ms)
+        assert all(np.isfinite(float(m["gen_loss"])) for m in ms)
+        assert int(state.n_batches) == 4
+
+    def test_config_roundtrip(self, tmp_path):
+        hp = BlurredWGANGPHyperParameters(gp_every_n_steps=4)
+        p = tmp_path / "hp.json"
+        hp.save_json(str(p))
+        hp2 = BlurredWGANGPHyperParameters.from_json(str(p))
+        assert hp2.gp_every_n_steps == 4
