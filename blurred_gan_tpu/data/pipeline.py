@@ -230,6 +230,25 @@ class ImageFolderDataset:
             return native.decode_batch(paths, self.resolution)
         return np.stack([self._decode(p) for p in paths])
 
+    def materialize(self, decode_batch: int = 512,
+                    progress: bool = True) -> "ArrayDataset":
+        """Decode the whole folder into a memory-resident uint8
+        :class:`ArrayDataset` — the bridge from lazy real-data folders to
+        device-resident chunked training, which needs ``.images`` to park in
+        HBM (CelebA-128 uint8 is ~9.5 GB and fits a 16 GB v5e alongside the
+        model). Decoding uses the native parallel loader in ``decode_batch``
+        chunks; file (sorted-name) order is preserved so resume/shuffle
+        semantics are reproducible across materializations."""
+        n = len(self.files)
+        out = np.empty((n, self.resolution, self.resolution, 3), np.uint8)
+        for i in range(0, n, decode_batch):
+            out[i:i + decode_batch] = self._decode_batch(
+                self.files[i:i + decode_batch])
+            if progress and (i // decode_batch) % 20 == 0:
+                print(f"[data] materializing {self.name}: {i}/{n}",
+                      flush=True)
+        return ArrayDataset(out, name=f"{self.name}:materialized")
+
     def batches(self, batch_size: int, *, seed: int = 0, start_epoch: int = 0,
                 start_batch: int = 0, shard_index: int = 0,
                 shard_count: int = 1,

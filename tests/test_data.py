@@ -90,6 +90,26 @@ class TestLoaders:
         b = next(iter(ds.batches(2, seed=0)))
         assert b.shape == (2, 32, 32, 3) and b.dtype == np.uint8
 
+    def test_image_folder_materialize(self, tmp_path):
+        """materialize() decodes the folder once into an ArrayDataset whose
+        images match per-batch decode in file order (the bridge to
+        device-resident chunked training on real data)."""
+        from PIL import Image
+
+        rng = np.random.RandomState(1)
+        for i in range(7):
+            Image.fromarray(
+                rng.randint(0, 255, (40, 40, 3), np.uint8)).save(
+                tmp_path / f"img{i}.png")
+        folder = load_celeba(path=str(tmp_path), resolution=24)
+        arr = folder.materialize(decode_batch=3, progress=False)
+        assert hasattr(arr, "images")
+        assert arr.images.shape == (7, 24, 24, 3)
+        assert arr.images.dtype == np.uint8
+        assert arr.name.endswith(":materialized")
+        direct = folder._decode_batch(folder.files)
+        np.testing.assert_array_equal(arr.images, direct)
+
 
 class TestPipeline:
     def test_prefetch_yields_same_stream(self):

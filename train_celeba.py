@@ -91,6 +91,14 @@ def main():
 
     dataset = load_celeba(path=args.celeba_path, resolution=args.resolution,
                           num_examples=args.num_examples)
+    if args.device_resident and not hasattr(dataset, "images"):
+        # Real-data folders are lazy; chunked training parks the corpus in
+        # HBM, so decode it once up front (native parallel loader).
+        gb = (dataset.num_examples * args.resolution * args.resolution * 3
+              / 1e9)
+        print(f"[train_celeba] materializing {dataset.num_examples} images "
+              f"for --device_resident (~{gb:.1f} GB uint8)")
+        dataset = dataset.materialize()
     total_examples = dataset.num_examples * args.epochs
 
     import jax.numpy as jnp
