@@ -95,6 +95,39 @@ class TestLazyGP:
         assert all(np.isfinite(float(m["gen_loss"])) for m in ms)
         assert int(state.n_batches) == 4
 
+    def test_chunked_matches_host_loop(self, tmp_path):
+        """Lazy GP under the scanned device-resident path ≡ the host loop
+        (the cond's counter-gating must survive lax.scan)."""
+        from blurred_gan_tpu.data import synthetic_dataset
+        from blurred_gan_tpu.sched.blur import BlurDecayController
+        from blurred_gan_tpu.train import Trainer, TrainerConfig
+
+        def mk(subdir):
+            cfg = TrainerConfig(log_dir=str(tmp_path / subdir),
+                                log_metrics_every_n_examples=16,
+                                checkpoint_every_n_examples=1_000_000,
+                                sample_grid_every_n_examples=1_000_000,
+                                image_summaries_interval_batches=0,
+                                save_sample_pngs=False, seed=0)
+            return Trainer(micro_gan(), micro_hparams(gp_every_n_steps=2),
+                           synthetic_dataset((16, 16, 1), num_examples=64),
+                           trainer_config=cfg,
+                           blur_controller=BlurDecayController(
+                               640, max_value=1.0))
+
+        tr_a = mk("host")
+        state_a = tr_a.fit(total_examples=10_000, max_steps=4)
+        tr_a.close()
+        tr_b = mk("chunked")
+        state_b = tr_b.fit_device_resident(total_examples=10_000,
+                                           chunk_steps=2, max_chunks=2)
+        tr_b.close()
+        assert int(state_a.n_batches) == int(state_b.n_batches) == 4
+        for xa, xb in zip(jax.tree_util.tree_leaves(state_a.d_params),
+                          jax.tree_util.tree_leaves(state_b.d_params)):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                       rtol=5e-4, atol=5e-5)
+
     def test_config_roundtrip(self, tmp_path):
         hp = BlurredWGANGPHyperParameters(gp_every_n_steps=4)
         p = tmp_path / "hp.json"
