@@ -1,0 +1,59 @@
+"""tools/evaluate_run.py — post-hoc checkpoint evaluation CLI."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+
+
+def _checkpointed_run(tmp_path):
+    from blurred_gan_tpu.models import mnist_discriminator, mnist_generator
+    from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
+                                       CheckpointManager, create_train_state)
+
+    gan = GAN(mnist_generator(), mnist_discriminator(), blurred=True)
+    hp = BlurredWGANGPHyperParameters()
+    state = create_train_state(gan, hp, jax.random.PRNGKey(3), (28, 28, 1))
+    mngr = CheckpointManager(str(tmp_path / "checkpoints"))
+    mngr.save(320, state)
+    mngr.wait_until_finished()
+    mngr.close()
+
+
+class TestEvaluateRunCLI:
+    def test_scores_restored_checkpoint(self, tmp_path, monkeypatch, capsys):
+        _checkpointed_run(tmp_path)
+        monkeypatch.setattr(sys, "argv", [
+            "evaluate_run.py", "--log_dir", str(tmp_path),
+            "--dataset", "mnist", "--num_samples", "64"])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "evaluate_run", os.path.join(repo, "tools", "evaluate_run.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["examples_seen"] == 320
+        assert np.isfinite(out["FID"]) and out["FID"] > 0
+        assert any(k.startswith("SWD") for k in out)
+
+    def test_no_checkpoint_exits(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(sys, "argv", [
+            "evaluate_run.py", "--log_dir", str(tmp_path / "empty"),
+            "--dataset", "mnist", "--num_samples", "32"])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "evaluate_run2", os.path.join(repo, "tools", "evaluate_run.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        with pytest.raises(SystemExit, match="no checkpoint"):
+            mod.main()
