@@ -342,6 +342,14 @@ class Trainer:
     def samples_seen(self) -> int:
         return self._n_img_host
 
+    @property
+    def restored_examples(self) -> int:
+        """Step key of the checkpoint restored at construction (0 = fresh
+        run). Distinct from ``samples_seen``: a checkpoint can legitimately
+        hold zeroed counters, but its step key is nonzero iff a restore
+        happened."""
+        return self._restored_samples
+
     def sigma_for_step(self) -> float:
         if self.ada_state is not None:
             return float(self.ada_state.std)

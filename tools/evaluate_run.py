@@ -70,10 +70,7 @@ def main() -> None:
                      checkpoint_every_n_examples=0,
                      image_summaries_interval_batches=0,
                      sample_with_ema=args.ema))
-    # _restored_samples is the checkpoint's step key — nonzero iff a
-    # checkpoint was actually restored (state counters can legitimately be
-    # zero in a freshly-saved state).
-    if tr._restored_samples == 0:
+    if tr.restored_examples == 0:
         raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
     if args.ema and not jax.tree_util.tree_leaves(tr.state.g_ema):
         raise SystemExit("--ema: this run has no EMA weights "
@@ -87,7 +84,7 @@ def main() -> None:
     out = tr.evaluate(num_samples=args.num_samples, metrics=metrics,
                       seed=args.seed)
     out = {k: round(float(v), 4) for k, v in out.items()}
-    out["examples_seen"] = int(tr._restored_samples)
+    out["examples_seen"] = int(tr.restored_examples)
     tr.close()
     print(json.dumps(out))
 
