@@ -131,6 +131,36 @@ class TestLazyGP:
             np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
                                        rtol=5e-4, atol=5e-5)
 
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_lazy_gp_on_mesh_matches_single_device(self):
+        """The counter-gated cond must survive GSPMD partitioning: a lazy-GP
+        step on the 8-device data mesh equals the single-device step."""
+        from blurred_gan_tpu.parallel import make_mesh
+
+        gan = micro_gan()
+        hp = micro_hparams(gp_every_n_steps=2)
+        mesh = make_mesh(8)
+        state_a = create_train_state(gan, hp, jax.random.PRNGKey(0),
+                                     (16, 16, 1))
+        state_b = create_train_state(gan, hp, jax.random.PRNGKey(0),
+                                     (16, 16, 1))
+        step_1 = make_train_step(gan, hp, donate_state=False)
+        step_8 = make_train_step(gan, hp, mesh=mesh, donate_state=False)
+        rng = jax.random.PRNGKey(11)
+        for i in range(2):  # step 0 applies GP, step 1 skips it
+            reals = jax.random.uniform(jax.random.fold_in(rng, 40 + i),
+                                       (8, 16, 16, 1), jnp.float32, -1, 1)
+            k = jax.random.fold_in(rng, i)
+            state_a, ma, _ = step_1(state_a, reals, jnp.float32(0.7), k)
+            state_b, mb, _ = step_8(state_b, reals, jnp.float32(0.7), k)
+            np.testing.assert_allclose(float(ma["gp_term"]),
+                                       float(mb["gp_term"]), rtol=1e-4)
+        assert float(ma["gp_term"]) == 0.0  # second step skipped the GP
+        for xa, xb in zip(jax.tree_util.tree_leaves(state_a.d_params),
+                          jax.tree_util.tree_leaves(state_b.d_params)):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                       rtol=5e-4, atol=1e-5)
+
     def test_config_roundtrip(self, tmp_path):
         hp = BlurredWGANGPHyperParameters(gp_every_n_steps=4)
         p = tmp_path / "hp.json"
