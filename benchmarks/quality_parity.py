@@ -25,6 +25,16 @@ original harness hard-coded MNIST-28; the reference's flagship is CelebA):
   ~7-8 img/s on this container's CPU (~2.2 h per 60k-example seed) — long
   but background-feasible, so the flagship surface is measured directly
   rather than approximated at 64².
+- ``celeba64_sharp`` — the same CelebA-64 surface in the SHARP regime:
+  σ₀ = 0.05, the reference's own dataclass default ``initial_blur_std``
+  (/root/reference/blurred_gan.py:27 — the value demo_mnist.py:199 trains
+  with). Rationale: with the σ₀=5 configs the 60k-example horizon decays σ
+  only 5.0 → 4.94 (the reference's schedule evaluates ExponentialDecay at
+  the *batch* counter, callbacks.py:60-62), so those head-to-heads measure
+  the heavy-blur curriculum phase where per-seed scatter dominates. At
+  σ₀ = 0.05 the 3-tap kernel is near-identity from step one, so this config
+  measures the regime where the generators' fine detail actually
+  differentiates — the CelebA-scale analogue of the MNIST comparison.
 
 ``train_ref`` trains the reference BlurredWGANGP on the SAME deterministic
 synthetic corpus the framework's demos fall back to (no egress in this
@@ -64,12 +74,21 @@ class ParityConfig:
     image_shape: tuple
     corpus_n: int
     sigma0: float  # BlurDecayController max_value for this demo config
+    arch: str = ""  # architecture key (defaults to name), e.g. "celeba64"
+
+    def __post_init__(self):
+        if not self.arch:
+            object.__setattr__(self, "arch", self.name)
 
 
 CONFIGS = {
     "mnist": ParityConfig("mnist", (28, 28, 1), 60_000, 0.05),
     "celeba64": ParityConfig("celeba64", (64, 64, 3), 20_000, 5.0),
     "celeba128": ParityConfig("celeba128", (128, 128, 3), 20_000, 5.0),
+    # Sharp regime: the reference's dataclass-default initial_blur_std
+    # (blurred_gan.py:27) on the CelebA-64 architectures — see module doc.
+    "celeba64_sharp": ParityConfig("celeba64_sharp", (64, 64, 3),
+                                   20_000, 0.05, arch="celeba64"),
 }
 
 
@@ -95,7 +114,7 @@ def _our_models(cfg: ParityConfig):
                                         celeba_generator,
                                         mnist_discriminator, mnist_generator)
 
-    if cfg.name == "mnist":
+    if cfg.arch == "mnist":
         return mnist_generator(), mnist_discriminator()
     res = cfg.image_shape[0]
     return celeba_generator(res), celeba_discriminator(res)
@@ -117,7 +136,7 @@ def train_ref(cfg: ParityConfig, examples: int, out: str, seed: int) -> None:
     tf.config.set_visible_devices([], "GPU")
     tf.keras.utils.set_random_seed(seed)
     gan, _ = reference_baseline.build_reference_gan(
-        cfg.name, os.path.join(out, f"ref_log_s{seed}"))
+        cfg.arch, os.path.join(out, f"ref_log_s{seed}"))
     ds = _corpus(cfg)
     ctrl = _sigma_controller(cfg, examples)
 
