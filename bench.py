@@ -224,6 +224,13 @@ def main():
                    help="maintain the generator-weight EMA inside the step "
                         "(hparams.ema_decay) — measures the averaging's "
                         "throughput cost")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient-accumulation microbatch count "
+                        "(hparams.grad_accumulation_steps) — one optimizer "
+                        "update per step, activations materialised per "
+                        "microbatch; measures the accumulation overhead and "
+                        "unlocks large effective batch at HBM-bound "
+                        "resolutions")
     p.add_argument("--gp_every", type=int, default=1,
                    help="lazy regularisation: apply the gradient penalty "
                         "every N critic steps (scaled by N; "
@@ -260,7 +267,8 @@ def main():
     hp = BlurredWGANGPHyperParameters(batch_size=batch,
                                       global_batch_size=batch,
                                       ema_decay=args.ema_decay,
-                                      gp_every_n_steps=args.gp_every)
+                                      gp_every_n_steps=args.gp_every,
+                                      grad_accumulation_steps=args.grad_accum)
     if args.gen_gate == "cond":
         import dataclasses
 
@@ -400,6 +408,8 @@ def main():
         out["fast_gen"] = True
     if args.gp_every != 1:
         out["gp_every"] = args.gp_every
+    if args.grad_accum != 1:
+        out["grad_accum"] = args.grad_accum
     print(json.dumps(out))
 
 

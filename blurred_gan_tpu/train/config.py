@@ -42,6 +42,15 @@ class WGANHyperParameters(JsonSerializable, ParseableFromCommandLine):
     global_batch_size: int = 32    # batch_size * num replicas
     optimizer: str = "adam"
     ema_decay: float = 0.0
+    # Gradient accumulation (beyond-parity, off at 1): one optimizer update
+    # per step, gradients summed over K microbatches inside a lax.scan, so
+    # peak activation memory scales with global_batch_size/K. Latents and GP
+    # interpolates are the full-batch draws sliced per microbatch — with a
+    # dropout-free critic the discriminator update is exactly the full-batch
+    # update (tests/test_grad_accum.py); generator BatchNorm normalises per
+    # microbatch (standard accumulation semantics). Lets HBM-bound configs
+    # (512² is b8-physical on a v5e) train at large effective batch.
+    grad_accumulation_steps: int = 1
 
 
 @dataclass

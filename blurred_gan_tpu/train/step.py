@@ -57,9 +57,26 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
     gp_every = int(getattr(hparams, "gp_every_n_steps", 1) or 1)
     lazy_gp = use_gp and gp_every > 1
 
-    def make_disc_loss_fn(with_gp: bool):
+    accum = int(getattr(hparams, "grad_accumulation_steps", 1) or 1)
+    if accum > 1 and reference_grad_scale:
+        raise ValueError(
+            "grad_accumulation_steps > 1 cannot reproduce the reference's "
+            "accidental ×B gradient (reference_grad_scale): the compat scale "
+            "is per-loss-call, so microbatch accumulation would scale by "
+            "B/K instead of B. Use one or the other.")
+
+    def make_disc_loss_fn(with_gp: bool, term_scale: float = 1.0,
+                          pin_alpha: bool = False):
         """``with_gp`` is Python-static: the False variant's graph simply has
-        no penalty double-backward (lazy regularisation's skipped steps)."""
+        no penalty double-backward (lazy regularisation's skipped steps).
+
+        ``term_scale`` divides the mean-reduced terms (GP, drift) — gradient
+        accumulation passes 1/K so that summing K microbatch losses yields
+        exactly the full-batch loss (the sum-scaled base term is additive
+        as-is). ``pin_alpha=True`` swaps the ``gp_rng`` argument for explicit
+        per-sample interpolation coefficients (the accumulated path draws
+        them for the full batch and slices, keeping the GP interpolates
+        identical to the unaccumulated step's draw)."""
 
         def disc_loss_fn(d_params, reals, fakes, sigma, drop_rng, gp_rng):
             # One doubled-batch critic application instead of two: fewer
@@ -81,10 +98,12 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
                 # application (StyleGAN2's lazy-regularisation argument).
                 loss, aux = wgangp_discriminator_loss(
                     critic_eval, reals, fakes, real_scores, fake_scores,
-                    gp_rng, global_batch_size=global_bs,
+                    None if pin_alpha else gp_rng,
+                    global_batch_size=global_bs,
                     gp_coefficient=gp_coefficient * (gp_every if lazy_gp
-                                                     else 1),
-                    e_drift=e_drift,
+                                                     else 1) * term_scale,
+                    e_drift=e_drift * term_scale,
+                    alpha=gp_rng if pin_alpha else None,
                     reference_grad_scale=reference_grad_scale,
                     include_gp=with_gp)
             else:
@@ -100,6 +119,13 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
 
     disc_loss_fn = make_disc_loss_fn(True)
     disc_loss_fn_nogp = make_disc_loss_fn(False) if lazy_gp else None
+    if accum > 1:
+        disc_loss_fn_acc = make_disc_loss_fn(True, term_scale=1.0 / accum,
+                                             pin_alpha=True)
+        disc_loss_fn_acc_nogp = (make_disc_loss_fn(False,
+                                                   term_scale=1.0 / accum,
+                                                   pin_alpha=True)
+                                 if lazy_gp else None)
 
     def gen_loss_fn(g_params, g_stats, d_params, z, sigma):
         (fakes, new_vars) = gan.generate(g_params, g_stats, z, train=True)
@@ -190,6 +216,160 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
             **aux,
         }
         return new_state, metrics, fakes
+
+    def step_accum(state: TrainState, reals, sigma, rng
+                   ) -> Tuple[TrainState, Dict[str, Any], jnp.ndarray]:
+        """Gradient-accumulated step: one optimizer update per call, gradients
+        summed over ``grad_accumulation_steps`` microbatches inside a
+        ``lax.scan`` — peak activation memory scales with the *microbatch*,
+        so HBM-bound configs (512² tops out at b8 physical on a v5e) can
+        train at large effective batch.
+
+        Exactness contract (tests/test_grad_accum.py): latents and GP
+        interpolation coefficients are drawn for the FULL batch — the same
+        draws, from the same keys, as the unaccumulated step — then sliced
+        per microbatch, and the mean-reduced loss terms (GP, drift) carry a
+        1/K scale so the summed microbatch losses equal the full-batch loss.
+        With a dropout-free critic the discriminator update is therefore the
+        full-batch update exactly (up to f32 summation order). Two standard
+        accumulation deviations remain: dropout masks draw from per-microbatch
+        keys (iid either way), and generator BatchNorm normalises per
+        microbatch with running stats carried through the scan (every
+        framework's accumulation semantics — a full-batch BN would need the
+        very activations accumulation exists to avoid materialising).
+        """
+        if reals.dtype == jnp.uint8:
+            reals = (reals.astype(jnp.float32) - 127.5) / 127.5
+        batch = reals.shape[0]
+        if batch % accum:
+            raise ValueError(
+                f"global batch {batch} is not divisible by "
+                f"grad_accumulation_steps={accum}")
+        m = batch // accum
+        sigma = jnp.asarray(sigma, jnp.float32)
+        k_zd, k_drop, k_gp, k_zg = jax.random.split(rng, 4)
+
+        def shard_micro(x):
+            # Keep the per-sample axis (now axis 1) data-sharded; the
+            # microbatch axis is the scan axis and stays unsharded.
+            if mesh is not None:
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(None, "data")))
+            return x
+
+        def split_micro(x):
+            return shard_micro(x.reshape((accum, m) + x.shape[1:]))
+
+        micro_reals = split_micro(reals)
+        z_d = gan.sample_latents(k_zd, batch)
+        micro_z_d = split_micro(z_d)
+        alpha = jax.random.uniform(k_gp, (batch, 1, 1, 1), dtype=reals.dtype)
+        micro_alpha = split_micro(alpha)
+
+        aux_keys = ("wgan_loss", "gp_term", "norm_term",
+                    "fake_scores", "real_scores")
+
+        def disc_pass(loss_fn):
+            def body(carry, xs):
+                grads_acc, loss_acc, aux_acc = carry
+                mb_reals, mb_z, mb_alpha, i = xs
+                fakes_i, _ = gan.generate(state.g_params, state.g_stats,
+                                          mb_z, train=False)
+                (loss_i, aux_i), g_i = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                    state.d_params, mb_reals, fakes_i, sigma,
+                    jax.random.fold_in(k_drop, i), mb_alpha)
+                return ((jax.tree_util.tree_map(jnp.add, grads_acc, g_i),
+                         loss_acc + loss_i,
+                         {k: aux_acc[k] + aux_i[k] for k in aux_keys}),
+                        fakes_i)
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.d_params)
+            aux0 = {k: jnp.float32(0.0) for k in aux_keys}
+            return jax.lax.scan(
+                body, (zeros, jnp.float32(0.0), aux0),
+                (micro_reals, micro_z_d, micro_alpha,
+                 jnp.arange(accum, dtype=jnp.int32)))
+
+        if lazy_gp:
+            do_gp = (state.n_batches % gp_every) == 0
+            (d_grads, d_loss, aux), fakes = jax.lax.cond(
+                do_gp,
+                lambda _: disc_pass(disc_loss_fn_acc),
+                lambda _: disc_pass(disc_loss_fn_acc_nogp),
+                None)
+        else:
+            (d_grads, d_loss, aux), fakes = disc_pass(disc_loss_fn_acc)
+        fakes = fakes.reshape((batch,) + fakes.shape[2:])
+        aux = dict(aux)
+        # Sum-scaled terms (base, GP, drift via the 1/K coefficients) summed
+        # to exactly the full-batch values; the score *means* summed across K
+        # equal microbatches, so divide once.
+        aux["fake_scores"] = aux["fake_scores"] / accum
+        aux["real_scores"] = aux["real_scores"] / accum
+
+        d_updates, d_opt_state = opt.update(d_grads, state.d_opt_state,
+                                            state.d_params)
+        d_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.d_params, d_updates)
+
+        def gen_branch(operand):
+            g_params, g_stats, g_opt_state, g_ema = operand
+            micro_z_g = split_micro(gan.sample_latents(k_zg, batch))
+
+            def body(carry, z_i):
+                grads_acc, loss_acc, stats = carry
+                (loss_i, new_stats), g_i = jax.value_and_grad(
+                    gen_loss_fn, has_aux=True)(
+                    g_params, stats, d_params, z_i, sigma)
+                return (jax.tree_util.tree_map(jnp.add, grads_acc, g_i),
+                        loss_acc + loss_i, new_stats), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, g_params)
+            (g_grads, g_loss, new_stats), _ = jax.lax.scan(
+                body, (zeros, jnp.float32(0.0), g_stats), micro_z_g)
+            g_updates, new_g_opt = opt.update(g_grads, g_opt_state, g_params)
+            new_g_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, g_params, g_updates)
+            if use_ema:
+                g_ema = jax.tree_util.tree_map(
+                    lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                    g_ema, new_g_params)
+            return new_g_params, new_stats, new_g_opt, g_ema, g_loss
+
+        def skip_branch(operand):
+            g_params, g_stats, g_opt_state, g_ema = operand
+            return g_params, g_stats, g_opt_state, g_ema, jnp.float32(0.0)
+
+        if hparams.d_steps_per_g_step == 1:
+            do_gen = jnp.bool_(True)
+            g_params, g_stats, g_opt_state, g_ema, g_loss = gen_branch(
+                (state.g_params, state.g_stats, state.g_opt_state,
+                 state.g_ema))
+        else:
+            do_gen = (state.n_batches % hparams.d_steps_per_g_step) == 0
+            g_params, g_stats, g_opt_state, g_ema, g_loss = jax.lax.cond(
+                do_gen, gen_branch, skip_branch,
+                (state.g_params, state.g_stats, state.g_opt_state,
+                 state.g_ema))
+
+        new_state = state.replace(
+            g_params=g_params, g_stats=g_stats, d_params=d_params,
+            g_opt_state=g_opt_state, d_opt_state=d_opt_state,
+            n_img=wide_add(state.n_img, batch),
+            n_batches=state.n_batches + 1, g_ema=g_ema)
+
+        metrics = {
+            "disc_loss": d_loss,
+            "gen_loss": g_loss,
+            "did_gen_step": do_gen,
+            "std": sigma,
+            **aux,
+        }
+        return new_state, metrics, fakes
+
+    if accum > 1:
+        step = step_accum
 
     donate = (0,) if donate_state else ()
     if mesh is None:
