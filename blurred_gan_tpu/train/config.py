@@ -51,6 +51,12 @@ class WGANHyperParameters(JsonSerializable, ParseableFromCommandLine):
     # microbatch (standard accumulation semantics). Lets HBM-bound configs
     # (512² is b8-physical on a v5e) train at large effective batch.
     grad_accumulation_steps: int = 1
+    # Mirror augmentation (beyond-parity, off by default): per-sample 50%
+    # horizontal flip of the reals, applied on device inside the jitted step
+    # (the uint8 host->device stream and chunked mode are untouched). The
+    # standard CelebA/face-dataset practice (ProGAN trains with it); NOT for
+    # MNIST (digits are chiral).
+    flip_augment: bool = False
 
 
 @dataclass

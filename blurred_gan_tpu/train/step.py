@@ -33,6 +33,19 @@ from blurred_gan_tpu.train.state import GAN, TrainState, make_optimizer, \
     wide_add
 
 
+def random_hflip(images, rng):
+    """Per-sample 50% horizontal flip (NHWC width axis), on device.
+
+    Mirror augmentation, the standard CelebA/face-dataset practice (ProGAN
+    trains with it); the reference has no augmentation — beyond-parity,
+    gated by ``hparams.flip_augment``. Device-side so the uint8
+    host->device stream and the device-resident chunked path need no
+    changes.
+    """
+    mask = jax.random.bernoulli(rng, 0.5, (images.shape[0],))
+    return jnp.where(mask[:, None, None, None], images[:, :, ::-1, :], images)
+
+
 def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
                     donate_state: bool = True, state_shardings=None):
     """Build ``step(state, reals, sigma, rng) -> (state, metrics, fakes)``.
@@ -56,6 +69,7 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
 
     gp_every = int(getattr(hparams, "gp_every_n_steps", 1) or 1)
     lazy_gp = use_gp and gp_every > 1
+    flip_augment = bool(getattr(hparams, "flip_augment", False))
 
     accum = int(getattr(hparams, "grad_accumulation_steps", 1) or 1)
     if accum > 1 and reference_grad_scale:
@@ -139,6 +153,12 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
             reals = (reals.astype(jnp.float32) - 127.5) / 127.5
         batch = reals.shape[0]
         sigma = jnp.asarray(sigma, jnp.float32)
+        if flip_augment:
+            # Carved off *before* the 4-way split so the default
+            # (flip_augment=False) leaves existing runs' RNG streams —
+            # and therefore bit-exact resume — untouched.
+            rng, k_flip = jax.random.split(rng)
+            reals = random_hflip(reals, k_flip)
         k_zd, k_drop, k_gp, k_zg = jax.random.split(rng, 4)
 
         # ---- discriminator step (wgan.py:132-151) ----
@@ -247,6 +267,11 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
                 f"grad_accumulation_steps={accum}")
         m = batch // accum
         sigma = jnp.asarray(sigma, jnp.float32)
+        if flip_augment:
+            # Full-batch draw before the microbatch split — the same flips
+            # the unaccumulated step applies (see its comment re streams).
+            rng, k_flip = jax.random.split(rng)
+            reals = random_hflip(reals, k_flip)
         k_zd, k_drop, k_gp, k_zg = jax.random.split(rng, 4)
 
         def shard_micro(x):
