@@ -19,6 +19,10 @@ from blurred_gan_tpu.metrics.fid import (
     FeatureStats,
     random_conv_features,
 )
+from blurred_gan_tpu.metrics.prdc import (
+    prdc,
+    prdc_from_images,
+)
 from blurred_gan_tpu.metrics.inception import (
     inception_features,
     inception_feature_fn,
@@ -45,6 +49,8 @@ __all__ = [
     "frechet_distance",
     "FeatureStats",
     "random_conv_features",
+    "prdc",
+    "prdc_from_images",
     "inception_features",
     "inception_feature_fn",
     "load_inception_weights",

@@ -84,6 +84,13 @@ def main() -> None:
                         "protocol; 75 = the smallest the stem accepts, ~16x "
                         "cheaper, preserves relative gaps)")
     p.add_argument("--no_swd", action="store_true", help="skip SWD")
+    p.add_argument("--prdc", action="store_true",
+                   help="also report precision/recall/density/coverage "
+                        "(Naeem et al. 2020) over the same features as FID — "
+                        "separates fidelity (precision, density) from "
+                        "diversity (recall, coverage)")
+    p.add_argument("--prdc_k", type=int, default=5,
+                   help="k-NN manifold size for --prdc (paper default 5)")
     args = p.parse_args()
 
     reals = _load(args.real, args.resolution, args.limit)
@@ -118,6 +125,16 @@ def main() -> None:
         fid.update_state(reals[i:i + args.batch], fakes[i:i + args.batch])
     out["fid_inception" if args.inception else "fid_randconv"] = round(
         float(fid.result()), 4)
+
+    if args.prdc:
+        from blurred_gan_tpu.metrics import prdc_from_images
+
+        # fid.feature_fn is resolved after the first update (the random-conv
+        # default is built lazily from the batch shape) — reuse it so PRDC
+        # sees the identical feature space.
+        out.update({k: round(v, 4) for k, v in prdc_from_images(
+            reals, fakes, feature_fn=fid.feature_fn, k=args.prdc_k,
+            batch=args.batch).items()})
     print(json.dumps(out))
 
 
