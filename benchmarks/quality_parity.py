@@ -263,6 +263,13 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
             for i in range(0, N_EVAL, 100):
                 fid.update_state(reals[i:i + 100], fakes[i:i + 100])
             row[fid_name] = round(float(fid.result()), 3)
+        # Fidelity/diversity split (Naeem et al. 2020) on the random-conv
+        # features: shows WHERE a framework's FID gap comes from (precision
+        # = fakes on the real manifold; recall/coverage = manifold covered).
+        from blurred_gan_tpu.metrics import prdc_from_images
+
+        row.update({k: round(v, 4) for k, v in
+                    prdc_from_images(reals, fakes, k=5, batch=100).items()})
         print(json.dumps(row), flush=True)
         return row
 
