@@ -23,6 +23,10 @@ from blurred_gan_tpu.metrics.prdc import (
     prdc,
     prdc_from_images,
 )
+from blurred_gan_tpu.metrics.kid import (
+    kid,
+    kid_from_images,
+)
 from blurred_gan_tpu.metrics.inception import (
     inception_features,
     inception_feature_fn,
@@ -51,6 +55,8 @@ __all__ = [
     "random_conv_features",
     "prdc",
     "prdc_from_images",
+    "kid",
+    "kid_from_images",
     "inception_features",
     "inception_feature_fn",
     "load_inception_weights",

@@ -91,6 +91,15 @@ def main() -> None:
                         "diversity (recall, coverage)")
     p.add_argument("--prdc_k", type=int, default=5,
                    help="k-NN manifold size for --prdc (paper default 5)")
+    p.add_argument("--kid", action="store_true",
+                   help="also report Kernel Inception Distance (Bińkowski "
+                        "et al. 2018) over the same features as FID — the "
+                        "unbiased small-sample companion to FID")
+    p.add_argument("--kid_subsets", type=int, default=100,
+                   help="--kid: number of MMD subsets (paper default 100)")
+    p.add_argument("--kid_subset_size", type=int, default=1000,
+                   help="--kid: samples per subset (paper default 1000; "
+                        "clamped to the available count)")
     args = p.parse_args()
 
     reals = _load(args.real, args.resolution, args.limit)
@@ -134,6 +143,14 @@ def main() -> None:
         # sees the identical feature space.
         out.update({k: round(v, 4) for k, v in prdc_from_images(
             reals, fakes, feature_fn=fid.feature_fn, k=args.prdc_k,
+            batch=args.batch).items()})
+
+    if args.kid:
+        from blurred_gan_tpu.metrics import kid_from_images
+
+        out.update({k: round(v, 6) for k, v in kid_from_images(
+            reals, fakes, feature_fn=fid.feature_fn,
+            n_subsets=args.kid_subsets, subset_size=args.kid_subset_size,
             batch=args.batch).items()})
     print(json.dumps(out))
 
