@@ -270,6 +270,15 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
 
         row.update({k: round(v, 4) for k, v in
                     prdc_from_images(reals, fakes, k=5, batch=100).items()})
+        # KID (unbiased MMD², Bińkowski et al. 2018): expectation independent
+        # of sample count, so it complements FID's O(n⁻¹) bias at the 1k
+        # protocol — the right statistic for the high-per-seed-scatter
+        # CelebA regimes (BASELINE.md). Random-conv features; 100 subsets
+        # of 500 (of the 1k available) so kid_std is a real error bar.
+        from blurred_gan_tpu.metrics import kid_from_images
+
+        row.update({k: round(v, 5) for k, v in
+                    kid_from_images(reals, fakes, subset_size=500).items()})
         print(json.dumps(row), flush=True)
         return row
 
@@ -290,7 +299,7 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
         if r and o:
             gaps = {}
             for k in r:
-                if not k.lower().startswith(("swd", "fid")):
+                if k != "kid" and not k.lower().startswith(("swd", "fid")):
                     continue
                 if r[k] == 0:  # rounded-to-zero reference: gap undefined
                     gaps[k] = f"ref=0 (ours abs {o[k]})"
@@ -304,7 +313,8 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
         if o and e:
             gaps = {k: round((e[k] - o[k]) / abs(o[k]), 4)
                     for k in o
-                    if k.lower().startswith(("swd", "fid")) and o[k] != 0}
+                    if (k == "kid" or k.lower().startswith(("swd", "fid")))
+                    and o[k] != 0}
             print(json.dumps({"rel_gap_ema_vs_live": gaps, "seed": seed}),
                   flush=True)
 

@@ -63,6 +63,11 @@ def kid(real_features, fake_features, n_subsets: int = 100,
         raise ValueError("KID needs at least 2 samples per side "
                          f"(got {real.shape[0]} / {fake.shape[0]})")
     m = int(min(subset_size, real.shape[0], fake.shape[0]))
+    if m == real.shape[0] and m == fake.shape[0]:
+        # Degenerate clamp: every without-replacement subset IS the full
+        # set (the estimator is permutation-invariant), so all n_subsets
+        # estimates would be identical — compute the one exact value.
+        n_subsets = 1
     rng = np.random.RandomState(seed)
     vals = []
     for _ in range(int(n_subsets)):

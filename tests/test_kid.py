@@ -63,6 +63,20 @@ class TestKID:
         b = kid(x, y, n_subsets=5, subset_size=1000)
         assert a == b  # fixed seed → bit-identical across calls
 
+    def test_full_set_clamp_is_single_exact_estimate(self):
+        """When subset_size covers BOTH sets, every without-replacement
+        subset is the full set (the U-statistic is permutation-invariant),
+        so kid() computes one exact value instead of n_subsets copies —
+        mean equal to any multi-subset run of the same clamp, std 0."""
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((30, 4)).astype(np.float32)
+        y = rng.standard_normal((30, 4)).astype(np.float32)
+        out = kid(x, y, n_subsets=100, subset_size=64)
+        assert out["kid_std"] == 0.0
+        # The exact value equals the estimator applied to the full sets.
+        direct = kid(x, y, n_subsets=1, subset_size=30)
+        assert out["kid"] == pytest.approx(direct["kid"], abs=1e-9)
+
     def test_input_validation(self):
         x = np.zeros((10, 4), np.float32)
         with pytest.raises(ValueError):
