@@ -207,6 +207,23 @@ class Trainer:
             self.logger.hparams(
                 config_sidecars.get("hparams").asdict()
                 if config_sidecars.get("hparams") is not None else {})
+        if self._is_main:
+            # Run manifest: what the hparams/config sidecars (the reference's
+            # JSON pair, demo_mnist.py:153-169) don't capture — the dataset
+            # identity and image shape — so post-hoc tools
+            # (tools/evaluate_run.py, generate_samples.py) can rebuild the
+            # right model without the operator re-specifying it.
+            import json as _json
+
+            manifest = {"dataset": getattr(dataset, "name", "unknown"),
+                        "image_shape": list(image_shape),
+                        "num_examples": int(getattr(dataset, "num_examples",
+                                                    0)),
+                        "latent_size": int(gan.latent_size),
+                        "ema": bool(self._use_ema)}
+            with open(os.path.join(self.cfg.log_dir,
+                                   "run_manifest.json"), "w") as f:
+                _json.dump(manifest, f, indent=1)
 
         self._state_shardings = state_shardings
         self._stop = False

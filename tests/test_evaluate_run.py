@@ -44,6 +44,62 @@ class TestEvaluateRunCLI:
         assert np.isfinite(out["FID"]) and out["FID"] > 0
         assert any(k.startswith("SWD") for k in out)
 
+    def test_infers_model_from_run_manifest(self, tmp_path, monkeypatch,
+                                            capsys):
+        """With a run_manifest.json (written by every Trainer), --dataset /
+        --resolution are optional: 1-channel shape → the MNIST family."""
+        _checkpointed_run(tmp_path)
+        with open(tmp_path / "run_manifest.json", "w") as f:
+            json.dump({"dataset": "synthetic28x28x1",
+                       "image_shape": [28, 28, 1]}, f)
+        monkeypatch.setattr(sys, "argv", [
+            "evaluate_run.py", "--log_dir", str(tmp_path),
+            "--num_samples", "64"])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "evaluate_run3", os.path.join(repo, "tools", "evaluate_run.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["examples_seen"] == 320
+
+    def test_model_mismatch_is_a_clear_error(self, tmp_path, monkeypatch):
+        """A celeba model against an MNIST checkpoint must exit with the
+        dataset/resolution hint, not a raw Orbax traceback."""
+        _checkpointed_run(tmp_path)
+        monkeypatch.setattr(sys, "argv", [
+            "evaluate_run.py", "--log_dir", str(tmp_path),
+            "--dataset", "celeba", "--resolution", "64",
+            "--num_samples", "32"])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "evaluate_run4", os.path.join(repo, "tools", "evaluate_run.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        with pytest.raises(SystemExit, match="dataset/--resolution"):
+            mod.main()
+
+    def test_no_manifest_and_no_dataset_exits(self, tmp_path, monkeypatch):
+        _checkpointed_run(tmp_path)
+        monkeypatch.setattr(sys, "argv", [
+            "evaluate_run.py", "--log_dir", str(tmp_path)])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "evaluate_run5", os.path.join(repo, "tools", "evaluate_run.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        with pytest.raises(SystemExit, match="pre-manifest"):
+            mod.main()
+
     def test_no_checkpoint_exits(self, tmp_path, monkeypatch):
         monkeypatch.setattr(sys, "argv", [
             "evaluate_run.py", "--log_dir", str(tmp_path / "empty"),

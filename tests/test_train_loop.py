@@ -96,6 +96,18 @@ class TestTrainingRun:
         tr, _, _ = trained
         assert tr.ckpt.latest_step() == 96
 
+    def test_run_manifest_written(self, trained):
+        import json
+
+        tr, _, _ = trained
+        path = os.path.join(tr.cfg.log_dir, "run_manifest.json")
+        assert os.path.exists(path)
+        with open(path) as f:
+            manifest = json.load(f)
+        assert manifest["image_shape"] == list(tr.dataset.image_shape)
+        assert manifest["dataset"] == tr.dataset.name
+        assert manifest["latent_size"] == tr.gan.latent_size
+
     def test_epoch_scalars_written(self, trained):
         # 64 examples at bs 8 -> epoch boundary at step 8 of the 12-step run;
         # the reference's LogMetricsCallback epoch_* tier (callbacks.py:262-268).

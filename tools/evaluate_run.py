@@ -27,9 +27,12 @@ def main() -> None:
     p = argparse.ArgumentParser(
         description="score a run dir's latest checkpoint (SWD + FID)")
     p.add_argument("--log_dir", required=True)
-    p.add_argument("--dataset", choices=["mnist", "celeba"], default="mnist")
-    p.add_argument("--resolution", type=int, default=128,
-                   help="celeba resolution (must match the trained model)")
+    p.add_argument("--dataset", choices=["mnist", "celeba"], default=None,
+                   help="model family; default: inferred from the run's "
+                        "run_manifest.json (1-channel → mnist, 3 → celeba)")
+    p.add_argument("--resolution", type=int, default=None,
+                   help="celeba resolution (must match the trained model; "
+                        "default: inferred from run_manifest.json)")
     p.add_argument("--data_path", type=str, default=None,
                    help="dataset location (defaults to the standard search "
                         "paths; synthetic fallback if absent)")
@@ -51,6 +54,25 @@ def main() -> None:
                                        Trainer, TrainerConfig)
     from blurred_gan_tpu.train.checkpoint import load_sidecar
 
+    # Fill unspecified model identity from the run's manifest (written by
+    # the Trainer at launch): 1-channel runs are the MNIST family, 3-channel
+    # the CelebA family at the manifest's resolution.
+    manifest_path = os.path.join(args.log_dir, "run_manifest.json")
+    if (args.dataset is None or args.resolution is None) \
+            and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            shape = json.load(f).get("image_shape")
+        if shape:
+            if args.dataset is None:
+                args.dataset = "mnist" if shape[-1] == 1 else "celeba"
+            if args.resolution is None:
+                args.resolution = int(shape[0])
+    if args.dataset is None:
+        raise SystemExit(f"no {manifest_path} (pre-manifest run dir): "
+                         "pass --dataset (and --resolution for celeba)")
+    if args.resolution is None:
+        args.resolution = 128
+
     if args.dataset == "mnist":
         gan = GAN(mnist_generator(), mnist_discriminator(), blurred=True)
         dataset = load_mnist(path=args.data_path)
@@ -63,13 +85,22 @@ def main() -> None:
     hp = (load_sidecar(args.log_dir, BlurredWGANGPHyperParameters,
                        "hyper_parameters.json")
           or BlurredWGANGPHyperParameters())
-    tr = Trainer(gan, hp, dataset,
-                 trainer_config=TrainerConfig(
-                     log_dir=args.log_dir,
-                     sample_grid_every_n_examples=0,
-                     checkpoint_every_n_examples=0,
-                     image_summaries_interval_batches=0,
-                     sample_with_ema=args.ema))
+    try:
+        tr = Trainer(gan, hp, dataset,
+                     trainer_config=TrainerConfig(
+                         log_dir=args.log_dir,
+                         sample_grid_every_n_examples=0,
+                         checkpoint_every_n_examples=0,
+                         image_summaries_interval_batches=0,
+                         sample_with_ema=args.ema))
+    except Exception as e:  # Orbax structure mismatch reads as gibberish —
+        # the usual cause is a --dataset/--resolution that doesn't match
+        # the trained model; say so before the raw error.
+        raise SystemExit(
+            f"checkpoint restore failed for a {args.dataset}"
+            f"@{args.resolution} model — if this run was trained with a "
+            f"different --dataset/--resolution, pass the matching ones "
+            f"(original error: {type(e).__name__}: {e})") from e
     if tr.restored_examples == 0:
         raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
     if args.ema and not jax.tree_util.tree_leaves(tr.state.g_ema):
