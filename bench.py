@@ -85,20 +85,38 @@ def bench_chunked(gan, hp, batch, resolution, steps, on_tpu):
                         jnp.bool_(False))
     rng = jax.random.PRNGKey(1)
 
-    def one_chunk(state, ada, n_batches):
+    # Bounded fetches, like the scanned path: a relay wedge striking
+    # mid-bench must fail loudly (honest null JSON), not hang the driver.
+    from blurred_gan_tpu.utils.watchdog import DeviceHangError, fetch
+
+    fetch_budget = float(os.environ.get("BENCH_FETCH_TIMEOUT_S", "600"))
+    compile_budget = fetch_budget * 3 if fetch_budget else 0.0
+    if not on_tpu:
+        compile_budget = fetch_budget = 0.0  # local CPU cannot wedge
+
+    def one_chunk(state, ada, n_batches, budget):
         # Fresh idx every chunk (the stream position advances) — satisfies the
         # distinct-inputs relay rule by construction.
         idx = jnp.asarray(chunk_indices(n_ex, batch, steps, n_batches, seed=0))
         state, ada, stacked, packed = chunk_fn(state, ada, data, idx, rng)
-        packed_np = np.asarray(packed)  # the single device->host fetch
+        # The single device->host fetch, bounded.
+        packed_np = fetch(packed, budget, what="chunked bench fetch")
         return state, ada, packed_np, sorted(stacked)
 
-    state, ada, _, keys = one_chunk(state, ada, 0)  # compile + warmup
-    n_chunks = 5 if on_tpu else 1
-    t0 = time.perf_counter()
-    for c in range(n_chunks):
-        state, ada, packed_np, keys = one_chunk(state, ada, (c + 1) * steps)
-    dt = time.perf_counter() - t0
+    try:
+        # compile + warmup (the multi-minute remote chunk compile rides the
+        # wider budget)
+        state, ada, _, keys = one_chunk(state, ada, 0, compile_budget)
+        n_chunks = 5 if on_tpu else 1
+        t0 = time.perf_counter()
+        for c in range(n_chunks):
+            state, ada, packed_np, keys = one_chunk(
+                state, ada, (c + 1) * steps, fetch_budget)
+        dt = time.perf_counter() - t0
+    except DeviceHangError as e:
+        _emit_unreachable(f"device wedged mid-bench (chunked): {e}",
+                          resolution)
+        return
     total_steps = n_chunks * steps
     out = {
         "metric": f"train_images_per_sec_celeba{resolution}_wgangp_blur_chunked",

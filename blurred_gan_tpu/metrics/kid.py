@@ -62,6 +62,9 @@ def kid(real_features, fake_features, n_subsets: int = 100,
     if min(real.shape[0], fake.shape[0]) < 2:
         raise ValueError("KID needs at least 2 samples per side "
                          f"(got {real.shape[0]} / {fake.shape[0]})")
+    if subset_size < 2:
+        raise ValueError("KID's unbiased U-statistic divides by m(m-1): "
+                         f"subset_size must be >= 2, got {subset_size}")
     m = int(min(subset_size, real.shape[0], fake.shape[0]))
     if m == real.shape[0] and m == fake.shape[0]:
         # Degenerate clamp: every without-replacement subset IS the full

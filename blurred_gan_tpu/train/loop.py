@@ -207,24 +207,7 @@ class Trainer:
             self.logger.hparams(
                 config_sidecars.get("hparams").asdict()
                 if config_sidecars.get("hparams") is not None else {})
-        if self._is_main:
-            # Run manifest: what the hparams/config sidecars (the reference's
-            # JSON pair, demo_mnist.py:153-169) don't capture — the dataset
-            # identity and image shape — so post-hoc tools
-            # (tools/evaluate_run.py, generate_samples.py) can rebuild the
-            # right model without the operator re-specifying it.
-            import json as _json
-
-            manifest = {"dataset": getattr(dataset, "name", "unknown"),
-                        "image_shape": list(image_shape),
-                        "num_examples": int(getattr(dataset, "num_examples",
-                                                    0)),
-                        "latent_size": int(gan.latent_size),
-                        "ema": bool(self._use_ema)}
-            with open(os.path.join(self.cfg.log_dir,
-                                   "run_manifest.json"), "w") as f:
-                _json.dump(manifest, f, indent=1)
-
+        self._image_shape = tuple(image_shape)
         self._state_shardings = state_shardings
         self._stop = False
         self._gen_loss_carry = None
@@ -247,6 +230,32 @@ class Trainer:
 
     # ------------------------------------------------------------------ setup
 
+    def _write_run_manifest(self) -> None:
+        """Record dataset identity/shape as ``run_manifest.json``.
+
+        What the hparams/config sidecars (the reference's JSON pair,
+        demo_mnist.py:153-169) don't capture — so post-hoc tools
+        (tools/evaluate_run.py, generate_samples.py) can rebuild the right
+        model without the operator re-specifying it. Called from the fit
+        entry points, NOT ``__init__``: read-only consumers (evaluate_run)
+        also construct a Trainer and must never overwrite a training run's
+        manifest — least of all with a mismatched model they were wrongly
+        invoked with.
+        """
+        if not self._is_main:
+            return
+        import json as _json
+
+        manifest = {"dataset": getattr(self.dataset, "name", "unknown"),
+                    "image_shape": list(self._image_shape),
+                    "num_examples": int(getattr(self.dataset, "num_examples",
+                                                0)),
+                    "latent_size": int(self.gan.latent_size),
+                    "ema": bool(self._use_ema)}
+        with open(os.path.join(self.cfg.log_dir,
+                               "run_manifest.json"), "w") as f:
+            _json.dump(manifest, f, indent=1)
+
     def _maybe_restore(self) -> None:
         restored = self.ckpt.restore_latest(self.state)
         self._restored_samples = 0
@@ -266,6 +275,15 @@ class Trainer:
                 self._stop = True
         print(f"[trainer] restored checkpoint @ {step} examples "
               f"(n_batches={int(self.state.n_batches)})")
+        if (self.cfg.sample_with_ema and not self._use_ema
+                and jax.tree_util.tree_leaves(self.state.g_ema)):
+            # EMA sampling was requested and the checkpoint carries EMA
+            # weights, but the (possibly missing/stale) sidecar hparams said
+            # ema_decay=0 — trust the restored state, not the sidecar, so a
+            # sidecar-less run dir never silently scores live weights as EMA.
+            self._use_ema = True
+            self.sample_fn = make_sample_fn(self.gan, mesh=self.mesh,
+                                            use_ema=True)
 
     def _build_hooks(self) -> None:
         self.hooks = HookList()
@@ -380,6 +398,7 @@ class Trainer:
         from blurred_gan_tpu.data.pipeline import DataPipeline
 
         self._fetch_warmed = False  # this fit's first fetch awaits compile
+        self._write_run_manifest()
 
         # Resume the deterministic data stream at the exact batch position
         # (epoch/offset index math over this process's shard). Multi-host:
@@ -608,6 +627,7 @@ class Trainer:
                                                 make_chunked_train_fn)
 
         self._fetch_warmed = False  # first chunk fetch awaits compile
+        self._write_run_manifest()
         assert hasattr(self.dataset, "images"), \
             "device-resident mode needs a memory-resident ArrayDataset"
         assert jax.process_count() == 1, \
@@ -798,7 +818,7 @@ class Trainer:
             for m in metrics:
                 m.update_state(reals[:k_n], fakes_local[:k_n])
             done += k_n
-        aggregated = True
+        merged = {}  # per-metric: did its stats get pooled across processes?
         if n_proc > 1 and global_aggregate:
             allgather = self._allgather_fn
             if allgather is None:
@@ -811,18 +831,27 @@ class Trainer:
                 merge = getattr(m, "cross_process_merge", None)
                 if merge is not None:
                     merge(allgather)
-                else:
-                    aggregated = False
+                merged[id(m)] = merge is not None
+        # The localshard prefix is per metric: in a mixed set (say SWD+FID
+        # merged, a custom metric without cross_process_merge not), the
+        # pooled results must not inherit the local-shard label or vice versa.
         out: Dict[str, float] = {}
+        local_out: Dict[str, float] = {}
         for m in metrics:
+            is_global = (n_proc == 1
+                         or (global_aggregate and merged.get(id(m), False)))
+            sink = out if is_global else local_out
             if hasattr(m, "results"):
-                out.update(m.results())  # keys are already namespaced
+                sink.update(m.results())  # keys are already namespaced
             else:
-                out[m.name] = float(m.result())
+                sink[m.name] = float(m.result())
             m.reset_states()
-        prefix = ("eval_" if n_proc == 1 or (global_aggregate and aggregated)
-                  else "eval_localshard_")
-        self.logger.scalars(self.samples_seen, out, prefix=prefix)
+        if out:
+            self.logger.scalars(self.samples_seen, out, prefix="eval_")
+        if local_out:
+            self.logger.scalars(self.samples_seen, local_out,
+                                prefix="eval_localshard_")
+        out.update(local_out)
         return out
 
     def export_weights(self, directory: str) -> None:

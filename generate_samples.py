@@ -21,8 +21,12 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--log_dir", required=True)
-    p.add_argument("--dataset", choices=["mnist", "celeba"], default="mnist")
-    p.add_argument("--resolution", type=int, default=128)
+    p.add_argument("--dataset", choices=["mnist", "celeba"], default=None,
+                   help="model family; default: inferred from the run's "
+                        "run_manifest.json (1-channel → mnist, 3 → celeba)")
+    p.add_argument("--resolution", type=int, default=None,
+                   help="celeba resolution (must match the trained model; "
+                        "default: inferred from run_manifest.json)")
     p.add_argument("--out", default=None, help="output PNG path")
     p.add_argument("--n", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
@@ -49,7 +53,10 @@ def main():
                                        CheckpointManager, create_train_state,
                                        make_sample_fn)
     from blurred_gan_tpu.utils import normalize_images, save_image_grid
+    from blurred_gan_tpu.utils.rundir import resolve_model_identity
 
+    args.dataset, args.resolution = resolve_model_identity(
+        args.log_dir, args.dataset, args.resolution)
     if args.dataset == "mnist":
         gan = GAN(mnist_generator(), mnist_discriminator(), blurred=True)
         shape = (28, 28, 1)
@@ -67,7 +74,16 @@ def main():
           or BlurredWGANGPHyperParameters())
     template = create_train_state(gan, hp, jax.random.PRNGKey(0), shape)
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
-    restored = ckpt.restore_latest(template)
+    try:
+        restored = ckpt.restore_latest(template)
+    except Exception as e:  # Orbax structure mismatch reads as gibberish —
+        # the usual cause is a --dataset/--resolution that doesn't match
+        # the trained model; say so before the raw error.
+        raise SystemExit(
+            f"checkpoint restore failed for a {args.dataset}"
+            f"@{args.resolution} model — if this run was trained with a "
+            f"different --dataset/--resolution, pass the matching ones "
+            f"(original error: {type(e).__name__}: {e})") from e
     if restored is None:
         raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
     state, _, step = restored

@@ -90,6 +90,35 @@ class TestPreflight:
         assert calls["n"] == 2
         assert capsys.readouterr().out.strip() == ""  # stdout stays clean
 
+    def test_chunked_wedge_emits_json(self, bench, monkeypatch, capsys):
+        """A relay wedge during --chunked's packed-metric fetch must produce
+        the honest null JSON (one line), not hang the driver — the same
+        contract the scanned path's watchdog fetch already enforces."""
+        import blurred_gan_tpu.utils.watchdog as wd
+        from blurred_gan_tpu.models import (DCGANDiscriminator,
+                                            DCGANGenerator)
+        from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN)
+
+        def wedge(x, timeout_s=None, **kw):
+            raise wd.DeviceHangError("test wedge")
+
+        # bench_chunked imports `fetch` from the watchdog module at call
+        # time, so patching the module attribute intercepts it.
+        monkeypatch.setattr(wd, "fetch", wedge)
+        g = DCGANGenerator(latent_size=16, init_hw=(4, 4), init_features=32,
+                           blocks=((32, 2), (16, 2)), out_channels=3,
+                           final_transpose=False, final_stride=1)
+        d = DCGANDiscriminator(channels=(16, 32))
+        gan = GAN(g, d, latent_size=16, blurred=True)
+        hp = BlurredWGANGPHyperParameters(batch_size=4, global_batch_size=4)
+        bench.bench_chunked(gan, hp, batch=4, resolution=16, steps=2,
+                            on_tpu=False)
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 1
+        payload = json.loads(out[0])
+        assert payload["value"] is None
+        assert "wedged mid-bench (chunked)" in payload["error"]
+
     def test_terminal_error_emits_json(self, bench, monkeypatch, capsys):
         def boom(timeout_s, salt):
             raise RuntimeError("pjrt init failed")

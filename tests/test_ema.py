@@ -181,6 +181,34 @@ class TestEMACheckpoint:
 
 
 class TestEMATrainer:
+    def test_restore_trusts_state_over_missing_sidecar(self, tmp_path):
+        """A run trained with EMA whose hyper_parameters.json sidecar is gone
+        (copied run dir, sidecar-less launcher): a Trainer built with default
+        hparams (ema_decay=0) must still sample the restored EMA weights when
+        EMA sampling is requested — not silently fall back to live weights."""
+        hp_train = hparams(ema_decay=DECAY)
+        state, _ = run_steps(hp_train, 3)
+        mngr = CheckpointManager(str(tmp_path / "checkpoints"))
+        mngr.save(24, state)
+        mngr.close()
+
+        tr = Trainer(
+            micro_gan(), hparams(),  # ema_decay=0: the sidecar-less default
+            synthetic_dataset((16, 16, 1), num_examples=64),
+            trainer_config=TrainerConfig(
+                log_dir=str(tmp_path), save_sample_pngs=False, seed=0))
+        assert tr._use_ema  # derived from the restored state's g_ema leaves
+        latents = tr.gan.sample_latents(jax.random.PRNGKey(7), 4)
+        got = np.asarray(tr.sample_fn(tr.state, latents))
+        want = np.asarray(make_sample_fn(tr.gan, use_ema=True)(
+            tr.state, latents))
+        np.testing.assert_array_equal(got, want)
+        # And the weights genuinely differ, so the assertion has teeth.
+        live = np.asarray(make_sample_fn(tr.gan, use_ema=False)(
+            tr.state, latents))
+        assert np.abs(got - live).max() > 0
+        tr.close()
+
     def test_trainer_samples_with_ema_and_chunked_matches_host(self, tmp_path):
         """One Trainer fit with EMA on: grids sample the EMA weights, and the
         device-resident chunked path carries the identical g_ema as the

@@ -68,6 +68,34 @@ class TestEvaluateRunCLI:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["examples_seen"] == 320
 
+    def test_readonly_cli_never_clobbers_the_manifest(self, tmp_path,
+                                                      monkeypatch):
+        """evaluate_run constructs a Trainer; the manifest is written by the
+        fit entry points only, so a read-only (even wrongly-flagged) eval
+        must leave the training run's manifest byte-identical."""
+        _checkpointed_run(tmp_path)
+        original = json.dumps({"dataset": "synthetic28x28x1",
+                               "image_shape": [28, 28, 1]})
+        with open(tmp_path / "run_manifest.json", "w") as f:
+            f.write(original)
+        # Wrong flags: the restore fails with the friendly hint, and the
+        # manifest must NOT have been rewritten as a celeba@64 one.
+        monkeypatch.setattr(sys, "argv", [
+            "evaluate_run.py", "--log_dir", str(tmp_path),
+            "--dataset", "celeba", "--resolution", "64",
+            "--num_samples", "32"])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "evaluate_run_clobber",
+            os.path.join(repo, "tools", "evaluate_run.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        with pytest.raises(SystemExit):
+            mod.main()
+        assert (tmp_path / "run_manifest.json").read_text() == original
+
     def test_model_mismatch_is_a_clear_error(self, tmp_path, monkeypatch):
         """A celeba model against an MNIST checkpoint must exit with the
         dataset/resolution hint, not a raw Orbax traceback."""

@@ -76,6 +76,50 @@ class TestGenerateSamplesCLI:
         assert img.shape[0] >= 2 * 28 and img.shape[1] >= 5 * 28
         assert img.shape[1] > img.shape[0]  # wider than tall: row-major grid
 
+    def test_infers_model_from_run_manifest(self, tmp_path, monkeypatch):
+        """With a run_manifest.json (written by every Trainer), --dataset is
+        optional: 1-channel shape → the MNIST family."""
+        import json
+
+        from blurred_gan_tpu.models import mnist_discriminator, mnist_generator
+        from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
+                                           CheckpointManager,
+                                           create_train_state)
+
+        gan = GAN(mnist_generator(), mnist_discriminator(), blurred=True)
+        hp = BlurredWGANGPHyperParameters()
+        state = create_train_state(gan, hp, jax.random.PRNGKey(3), (28, 28, 1))
+        mngr = CheckpointManager(str(tmp_path / "checkpoints"))
+        mngr.save(64, state)
+        mngr.wait_until_finished()
+        mngr.close()
+        with open(tmp_path / "run_manifest.json", "w") as f:
+            json.dump({"dataset": "synthetic28x28x1",
+                       "image_shape": [28, 28, 1]}, f)
+
+        out = tmp_path / "inferred.png"
+        monkeypatch.setattr(sys, "argv", [
+            "generate_samples.py", "--log_dir", str(tmp_path),
+            "--n", "4", "--out", str(out)])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        import generate_samples
+
+        generate_samples.main()
+        assert out.exists() and out.stat().st_size > 0
+
+    def test_no_manifest_and_no_dataset_exits(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(sys, "argv", [
+            "generate_samples.py", "--log_dir", str(tmp_path), "--n", "4"])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        import generate_samples
+
+        with pytest.raises(SystemExit, match="pre-manifest"):
+            generate_samples.main()
+
     def test_missing_checkpoint_exits_loudly(self, tmp_path, monkeypatch):
         monkeypatch.setattr(sys, "argv", [
             "generate_samples.py", "--log_dir", str(tmp_path),

@@ -85,6 +85,8 @@ class TestKID:
             kid(x, np.zeros((1, 4), np.float32))
         with pytest.raises(ValueError):
             kid(np.zeros((10, 4, 2), np.float32), x)
+        with pytest.raises(ValueError):  # m(m-1) denominator needs m >= 2
+            kid(x, x, subset_size=1)
 
     def test_from_images_pipeline(self):
         """Image-level wiring through the shared random-conv extractor:

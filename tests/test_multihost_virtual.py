@@ -189,8 +189,30 @@ class TestVirtualTwoProcessTraining:
                 # FID exercises the multi-host evaluate path — including the
                 # cross-process moment merge (global_aggregate default).
                 tr._allgather_fn = cluster.allgather
+
+                class _LocalMean:
+                    """A metric WITHOUT cross_process_merge: its result stays
+                    process-local and must be logged under eval_localshard_
+                    while the merged FID (same call) keeps the eval_ prefix —
+                    the prefix is per-metric, not per-call."""
+
+                    name = "local_mean"
+
+                    def __init__(self):
+                        self.vals = []
+
+                    def update_state(self, reals, fakes):
+                        self.vals.append(float(np.mean(np.asarray(fakes))))
+
+                    def result(self):
+                        return float(np.mean(self.vals))
+
+                    def reset_states(self):
+                        self.vals = []
+
                 ev = tr.evaluate(num_samples=8,
-                                 metrics=[FIDMetric(feature_dim=16)])
+                                 metrics=[FIDMetric(feature_dim=16),
+                                          _LocalMean()])
                 tr.close()
                 results[pi] = (state, dict(tr._last_metrics), ev)
             except BaseException as e:  # noqa: BLE001 — surface in main thread
@@ -227,8 +249,12 @@ class TestVirtualTwoProcessTraining:
             _json.loads(line)
             for line in open(tmp_path / "p0" / "events.jsonl")]
         assert any("eval_FID" in r for r in events)
-        assert not any(any(k.startswith("eval_localshard_") for k in r)
+        # Per-metric prefixes: the merged FID is global (eval_), the
+        # merge-less metric is local (eval_localshard_) — in the SAME call.
+        assert not any(any(k.startswith("eval_localshard_FID") for k in r)
                        for r in events)
+        assert any("eval_localshard_local_mean" in r for r in events)
+        assert "local_mean" in ev0
 
         # The first assembled training batch was built from DISJOINT
         # per-process shards of the same epoch permutation: process 0 and 1

@@ -57,21 +57,10 @@ def main() -> None:
     # Fill unspecified model identity from the run's manifest (written by
     # the Trainer at launch): 1-channel runs are the MNIST family, 3-channel
     # the CelebA family at the manifest's resolution.
-    manifest_path = os.path.join(args.log_dir, "run_manifest.json")
-    if (args.dataset is None or args.resolution is None) \
-            and os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            shape = json.load(f).get("image_shape")
-        if shape:
-            if args.dataset is None:
-                args.dataset = "mnist" if shape[-1] == 1 else "celeba"
-            if args.resolution is None:
-                args.resolution = int(shape[0])
-    if args.dataset is None:
-        raise SystemExit(f"no {manifest_path} (pre-manifest run dir): "
-                         "pass --dataset (and --resolution for celeba)")
-    if args.resolution is None:
-        args.resolution = 128
+    from blurred_gan_tpu.utils.rundir import resolve_model_identity
+
+    args.dataset, args.resolution = resolve_model_identity(
+        args.log_dir, args.dataset, args.resolution)
 
     if args.dataset == "mnist":
         gan = GAN(mnist_generator(), mnist_discriminator(), blurred=True)

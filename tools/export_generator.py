@@ -31,8 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--log_dir", required=True)
-    p.add_argument("--dataset", choices=["mnist", "celeba"], default="mnist")
-    p.add_argument("--resolution", type=int, default=128)
+    p.add_argument("--dataset", choices=["mnist", "celeba"], default=None,
+                   help="model family; default: inferred from the run's "
+                        "run_manifest.json (1-channel → mnist, 3 → celeba)")
+    p.add_argument("--resolution", type=int, default=None,
+                   help="celeba resolution (must match the trained model; "
+                        "default: inferred from run_manifest.json)")
     p.add_argument("--out", required=True, help="output artifact path")
     p.add_argument("--ema", action="store_true",
                    help="bake the EMA generator weights")
@@ -50,7 +54,10 @@ def main():
     from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
                                        CheckpointManager, create_train_state)
     from blurred_gan_tpu.train.checkpoint import load_sidecar
+    from blurred_gan_tpu.utils.rundir import resolve_model_identity
 
+    args.dataset, args.resolution = resolve_model_identity(
+        args.log_dir, args.dataset, args.resolution)
     if args.dataset == "mnist":
         gan = GAN(mnist_generator(), mnist_discriminator(), blurred=True)
         shape = (28, 28, 1)
@@ -64,7 +71,16 @@ def main():
           or BlurredWGANGPHyperParameters())
     template = create_train_state(gan, hp, jax.random.PRNGKey(0), shape)
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
-    restored = ckpt.restore_latest(template)
+    try:
+        restored = ckpt.restore_latest(template)
+    except Exception as e:  # Orbax structure mismatch reads as gibberish —
+        # the usual cause is a --dataset/--resolution that doesn't match
+        # the trained model; say so before the raw error.
+        raise SystemExit(
+            f"checkpoint restore failed for a {args.dataset}"
+            f"@{args.resolution} model — if this run was trained with a "
+            f"different --dataset/--resolution, pass the matching ones "
+            f"(original error: {type(e).__name__}: {e})") from e
     if restored is None:
         raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
     state, _, step = restored

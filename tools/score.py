@@ -45,7 +45,9 @@ def _load(path: str, resolution: int | None, limit: int | None) -> np.ndarray:
         if resolution is None:
             raise SystemExit("--resolution is required with directory inputs")
         ds = ImageFolderDataset(path, resolution, num_examples=limit)
-        x = ds._decode_batch(ds.files)
+        # Chunked decode with progress — one shot over a full CelebA folder
+        # would be a single ~9.5 GB silent allocation.
+        x = ds.materialize().images
     elif path.endswith(".npz"):
         with np.load(path) as d:
             key = "samples" if "samples" in d else list(d.keys())[0]
