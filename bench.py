@@ -132,6 +132,89 @@ def bench_chunked(gan, hp, batch, resolution, steps, on_tpu):
     print(json.dumps(out))
 
 
+def bench_infer(gan, batch, resolution, steps, on_tpu, use_export):
+    """Serving-side throughput: images/sec sampled from the flagship
+    generator, either calling the live jitted network or — with
+    ``use_export`` — the frozen StableHLO artifact ``serving.export_generator``
+    produces (weights baked in, symbolic batch dim), staged into the same
+    scanned program. The reference has no inference path beyond eager
+    ``generate_samples`` (wgan.py:120-123), so ``vs_baseline`` is null.
+
+    Weight values don't affect conv throughput, so the generator is used at
+    random init — no checkpoint needed to benchmark serving."""
+    import numpy as np
+
+    from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters,
+                                       create_train_state)
+    from blurred_gan_tpu.utils.watchdog import DeviceHangError, fetch
+
+    hp = BlurredWGANGPHyperParameters(batch_size=batch,
+                                      global_batch_size=batch)
+    state = create_train_state(gan, hp, jax.random.PRNGKey(0),
+                               (resolution, resolution, 3))
+
+    if use_export:
+        from blurred_gan_tpu.serving import export_generator
+        from jax import export as jexport
+        blob = export_generator(gan, state)
+        exported = jexport.deserialize(blob)
+        gen_fn = exported.call  # stageable into the outer jit
+    else:
+        def gen_fn(z):
+            images, _ = gan.generate(state.g_params, state.g_stats, z,
+                                     train=False)
+            return images
+
+    base = jax.random.PRNGKey(7)
+
+    # One compiled program per timed call: `steps` sampling batches under a
+    # scan, each returning a scalar probe so the (steps,) fetch both forces
+    # completion and proves every batch ran (CLAUDE.md metrology). `salt`
+    # varies the latent stream between reps to defeat the relay's
+    # execution cache.
+    @jax.jit
+    def run(salt):
+        def body(carry, i):
+            z = jax.random.uniform(
+                jax.random.fold_in(jax.random.fold_in(base, salt), i),
+                (batch, gan.latent_size), jnp.float32)
+            images = gen_fn(z)
+            return carry, jnp.abs(images.astype(jnp.float32)).mean()
+
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(steps))
+
+    compile_budget = float(os.environ.get("BENCH_COMPILE_TIMEOUT_S", "3600"))
+    fetch_budget = float(os.environ.get("BENCH_FETCH_TIMEOUT_S", "600"))
+    if not on_tpu:
+        compile_budget = fetch_budget = 0.0
+
+    try:
+        _, probes = run(jnp.int32(0))  # compile + warmup
+        warm = fetch(probes, compile_budget, what="infer warmup (compile)")
+        dt = float("inf")
+        for rep in range(3 if on_tpu else 1):
+            t0 = time.perf_counter()
+            _, probes = run(jnp.int32(rep + 1))
+            vals = fetch(probes, fetch_budget, what="infer timed fetch")
+            dt = min(dt, time.perf_counter() - t0)
+            assert np.isfinite(vals).all() and not np.array_equal(vals, warm), \
+                "timed run returned warmup's values — relay served a stale result"
+    except DeviceHangError as e:
+        _emit_unreachable(f"device wedged mid-bench (infer): {e}", resolution)
+        return
+
+    suffix = "_exported" if use_export else ""
+    print(json.dumps({
+        "metric": f"infer_images_per_sec_celeba{resolution}{suffix}",
+        "value": round(steps * batch / dt, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "ms_per_batch": round(dt / steps * 1e3, 3),
+        "batch": batch,
+        "exported": use_export,
+    }))
+
+
 def _emit_unreachable(reason: str, resolution: int) -> None:
     """Honest one-line JSON when the device cannot run anything: the driver
     contract is one JSON line, and an unbounded hang helps nobody. value is
@@ -254,6 +337,16 @@ def main():
                         "every N critic steps (scaled by N; "
                         "hparams.gp_every_n_steps) — skips the GP "
                         "double-backward on the other steps")
+    p.add_argument("--infer", action="store_true",
+                   help="measure serving-side sampling throughput (scanned "
+                        "generator forward passes; default batch 128 on TPU "
+                        "— the MFU-optimal size from the training sweep) "
+                        "instead of the train step")
+    p.add_argument("--infer_export", action="store_true",
+                   help="with --infer semantics: sample through the frozen "
+                        "StableHLO artifact (serving.export_generator "
+                        "round-trip) instead of the live network — measures "
+                        "the deployed-artifact path end-to-end")
     p.add_argument("--chunked", action="store_true",
                    help="measure the device-resident chunked path end-to-end "
                         "(HBM-parked dataset, on-device gather+normalise, "
@@ -309,6 +402,14 @@ def main():
     gan = GAN(celeba_generator(resolution, compute_dtype=dtype, **gen_kw),
               celeba_discriminator(resolution, compute_dtype=dtype),
               blurred=True, blur_impl=args.blur_impl)
+
+    if args.infer or args.infer_export:
+        # Serving default: b128 is the throughput-optimal batch from the
+        # training sweep; an explicit --batch still wins.
+        infer_batch = args.batch or (128 if on_tpu else 8)
+        bench_infer(gan, infer_batch, resolution, steps, on_tpu,
+                    use_export=args.infer_export)
+        return
 
     if args.chunked:
         # bench_chunked owns its state/step (the chunk program embeds the
