@@ -12,7 +12,9 @@ redesign:
   is 45 MB; CelebA-128 at uint8 is ~9.5 GB — for larger-than-RAM corpora use
   :func:`image_folder_dataset`, which keeps only file paths in memory, draws a
   full fresh permutation of them each epoch, and decodes per batch on the
-  prefetch thread).
+  prefetch thread; or convert once with :func:`write_shards` /
+  ``tools/make_shards.py`` and stream the mmap'd
+  :class:`ShardedArrayDataset` with zero decode cost).
 - **Prefetch** runs on a background thread with a bounded queue so JPEG decode /
   permutation overlaps device compute (the tf.data AUTOTUNE capability,
   demo_mnist.py:39-43).
@@ -157,12 +159,24 @@ def load_celeba(path: Optional[str] = None, resolution: int = 128,
     on device here). Searches ``path`` then ``$DATASETS_DIR/celeba*/``.
     """
     candidates = [path] if path else [
+        os.path.join(_datasets_dir(), f"celeba_shards_{resolution}"),
         os.path.join(_datasets_dir(), "celeba", "img_align_celeba"),
         os.path.join(_datasets_dir(), "celeb_a"),
         os.path.join(_datasets_dir(), "celeba"),
     ]
     for cand in candidates:
         if cand and os.path.isdir(cand):
+            # A pre-converted shard store (tools/make_shards.py) wins: no
+            # JPEG decode on the training path.
+            if any(n.startswith(_SHARD_PREFIX) and n.endswith(".npy")
+                   for n in os.listdir(cand)):
+                ds = ShardedArrayDataset(cand)
+                if ds.image_shape[:2] != (resolution, resolution):
+                    raise ValueError(
+                        f"{cand} holds {ds.image_shape[0]}px shards but "
+                        f"resolution={resolution} was requested — convert "
+                        f"with tools/make_shards.py at the right resolution")
+                return ds
             return image_folder_dataset(cand, resolution=resolution,
                                         num_examples=num_examples)
     if not allow_synthetic_fallback:
@@ -275,6 +289,135 @@ class ImageFolderDataset:
 def image_folder_dataset(root: str, resolution: int = 128,
                          num_examples: Optional[int] = None):
     return ImageFolderDataset(root, resolution, num_examples)
+
+
+_SHARD_PREFIX = "shard-"
+
+
+class ShardedArrayDataset:
+    """Memory-mapped uint8 NHWC shard store: a directory of ``shard-*.npy``.
+
+    The decode-once, stream-forever format for larger-than-RAM corpora (the
+    TPU-side answer to the reference's tfds/TFRecord cache,
+    demo_celeba.py:15-48): write once with :func:`write_shards` — e.g. from an
+    :class:`ImageFolderDataset` — then every later run memory-maps the shards
+    and gathers per batch. No JPEG decode on the training path, the OS page
+    cache keeps the hot set resident, and cold batches cost one strided read
+    per touched shard instead of ``batch_size`` image decodes.
+
+    The batch stream is **bit-identical** to an :class:`ArrayDataset` over the
+    concatenated array (same permutation math, same seed), so the
+    checkpoint/resume and multi-host shard contracts carry over unchanged —
+    a run can switch between the two storage forms without moving its stream
+    position.
+    """
+
+    def __init__(self, root: str):
+        names = sorted(n for n in os.listdir(root)
+                       if n.startswith(_SHARD_PREFIX) and n.endswith(".npy"))
+        if not names:
+            raise FileNotFoundError(f"no {_SHARD_PREFIX}*.npy under {root}")
+        self.root = root
+        self._shards = [np.load(os.path.join(root, n), mmap_mode="r")
+                        for n in names]
+        shape0 = self._shards[0].shape[1:]
+        for n, s in zip(names, self._shards):
+            if s.ndim != 4 or s.dtype != np.uint8 or s.shape[1:] != shape0:
+                raise ValueError(
+                    f"{n}: expected uint8 NHWC with image shape {shape0}, "
+                    f"got {s.dtype} {s.shape}")
+        # _starts[i] = global index of shard i's first example.
+        counts = [s.shape[0] for s in self._shards]
+        self._starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        self._total = int(sum(counts))
+        self.name = f"shards:{os.path.basename(os.path.abspath(root))}"
+
+    @property
+    def num_examples(self) -> int:
+        return self._total
+
+    @property
+    def image_shape(self) -> Tuple[int, int, int]:
+        return tuple(self._shards[0].shape[1:])
+
+    def _gather(self, idx: np.ndarray) -> np.ndarray:
+        """Fancy-index the virtual concatenated array, one read per touched
+        shard (preserving the requested order)."""
+        out = np.empty((len(idx), *self.image_shape), np.uint8)
+        shard_ids = np.searchsorted(self._starts, idx, side="right") - 1
+        for s in np.unique(shard_ids):
+            mask = shard_ids == s
+            out[mask] = self._shards[s][idx[mask] - self._starts[s]]
+        return out
+
+    def materialize(self) -> "ArrayDataset":
+        """Concatenate all shards into RAM — the bridge to device-resident
+        chunked training (same role as ImageFolderDataset.materialize)."""
+        return ArrayDataset(np.concatenate([np.asarray(s)
+                                            for s in self._shards]),
+                            name=f"{self.name}:materialized")
+
+    def batches(self, batch_size: int, *, seed: int = 0, start_epoch: int = 0,
+                start_batch: int = 0, shard_index: int = 0,
+                shard_count: int = 1,
+                drop_remainder: bool = True) -> Iterator[np.ndarray]:
+        """Same stream contract (and values) as ``ArrayDataset.batches``."""
+        epoch = start_epoch
+        n = self.num_examples
+        first = start_batch * batch_size
+        while True:
+            order = np.random.RandomState(seed + epoch).permutation(n)
+            order = order[:n - (n % shard_count)][shard_index::shard_count]
+            m = len(order)
+            if drop_remainder and batch_size > m:
+                raise ValueError(
+                    f"batch_size {batch_size} exceeds this shard's {m} "
+                    f"examples (num_examples={n}, shard_count={shard_count})")
+            end = m - (m % batch_size) if drop_remainder else m
+            for i in range(first, end, batch_size):
+                yield self._gather(order[i:i + batch_size])
+            epoch += 1
+            first = 0
+
+
+def write_shards(source, root: str, shard_size: int = 4096,
+                 progress: bool = True) -> "ShardedArrayDataset":
+    """Write ``source`` as a ``shard-*.npy`` directory and reopen it mmap'd.
+
+    ``source`` may be a uint8 NHWC array, an :class:`ArrayDataset`, or an
+    :class:`ImageFolderDataset` — the folder case decodes one shard at a time
+    (native parallel loader), so corpora larger than RAM convert in bounded
+    memory. Sorted-name order is preserved, so the shard store's example
+    order equals the source's.
+    """
+    os.makedirs(root, exist_ok=True)
+    stale = [n for n in os.listdir(root)
+             if n.startswith(_SHARD_PREFIX) and n.endswith(".npy")]
+    if stale:
+        raise FileExistsError(
+            f"{root} already holds {len(stale)} shard files; refusing to mix "
+            f"two corpora — point write_shards at an empty directory")
+
+    if isinstance(source, ImageFolderDataset):
+        n = source.num_examples
+
+        def chunk(i):
+            return source._decode_batch(source.files[i:i + shard_size])
+    else:
+        images = source.images if isinstance(source, ArrayDataset) else \
+            np.asarray(source)
+        assert images.ndim == 4 and images.dtype == np.uint8, \
+            "expected uint8 NHWC"
+        n = images.shape[0]
+
+        def chunk(i):
+            return images[i:i + shard_size]
+
+    for k, i in enumerate(range(0, n, shard_size)):
+        np.save(os.path.join(root, f"{_SHARD_PREFIX}{k:05d}.npy"), chunk(i))
+        if progress and k % 20 == 0:
+            print(f"[data] writing shards: {i}/{n}", flush=True)
+    return ShardedArrayDataset(root)
 
 
 class DataPipeline:

@@ -1,0 +1,53 @@
+"""Convert an image directory (or mnist.npz) into a mmap-able shard store.
+
+    python tools/make_shards.py <image_dir> <out_dir> [--resolution 128]
+                                [--shard_size 4096] [--num_examples N]
+
+Decodes once (native parallel loader) into ``<out_dir>/shard-*.npy``; training
+runs then pass ``--data_dir <out_dir>`` (or drop it at
+``$DATASETS_DIR/celeba_shards_<res>`` for auto-discovery by ``load_celeba``)
+and stream with zero decode cost and OS-page-cache residency
+(`data/pipeline.py::ShardedArrayDataset`). Conversion is bounded-memory: one
+shard decodes at a time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("source", help="directory of images, or an mnist.npz")
+    p.add_argument("out_dir", help="empty output directory for shard-*.npy")
+    p.add_argument("--resolution", type=int, default=128,
+                   help="centre-crop + resize target for image dirs")
+    p.add_argument("--shard_size", type=int, default=4096,
+                   help="examples per shard file")
+    p.add_argument("--num_examples", type=int, default=None,
+                   help="cap the number of source images")
+    args = p.parse_args()
+
+    from blurred_gan_tpu.data.pipeline import (ImageFolderDataset,
+                                               load_mnist, write_shards)
+
+    if os.path.isdir(args.source):
+        src = ImageFolderDataset(args.source, args.resolution,
+                                 num_examples=args.num_examples)
+    elif args.source.endswith(".npz"):
+        src = load_mnist(args.source, allow_synthetic_fallback=False)
+    else:
+        raise SystemExit(f"unsupported source: {args.source}")
+
+    ds = write_shards(src, args.out_dir, shard_size=args.shard_size)
+    print(f"[make_shards] wrote {ds.num_examples} examples "
+          f"({ds.image_shape[0]}x{ds.image_shape[1]}x{ds.image_shape[2]}) "
+          f"to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
