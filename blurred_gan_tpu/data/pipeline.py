@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import os
 import queue
+import sys
 import threading
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -259,8 +260,10 @@ class ImageFolderDataset:
             out[i:i + decode_batch] = self._decode_batch(
                 self.files[i:i + decode_batch])
             if progress and (i // decode_batch) % 20 == 0:
+                # stderr: several CLIs (tools/score.py) reserve stdout for
+                # their one-line JSON contract.
                 print(f"[data] materializing {self.name}: {i}/{n}",
-                      flush=True)
+                      file=sys.stderr, flush=True)
         return ArrayDataset(out, name=f"{self.name}:materialized")
 
     def batches(self, batch_size: int, *, seed: int = 0, start_epoch: int = 0,
@@ -416,7 +419,8 @@ def write_shards(source, root: str, shard_size: int = 4096,
     for k, i in enumerate(range(0, n, shard_size)):
         np.save(os.path.join(root, f"{_SHARD_PREFIX}{k:05d}.npy"), chunk(i))
         if progress and k % 20 == 0:
-            print(f"[data] writing shards: {i}/{n}", flush=True)
+            print(f"[data] writing shards: {i}/{n}", file=sys.stderr,
+                  flush=True)
     return ShardedArrayDataset(root)
 
 
