@@ -109,15 +109,20 @@ def _sigma_controller(cfg: ParityConfig, total_examples: int):
                                max_value=cfg.sigma0)
 
 
-def _our_models(cfg: ParityConfig):
+def _our_models(cfg: ParityConfig, compute_dtype=None):
+    import jax.numpy as jnp
+
     from blurred_gan_tpu.models import (celeba_discriminator,
                                         celeba_generator,
                                         mnist_discriminator, mnist_generator)
 
+    dt = compute_dtype or jnp.float32
     if cfg.arch == "mnist":
-        return mnist_generator(), mnist_discriminator()
+        return mnist_generator(compute_dtype=dt), mnist_discriminator(
+            compute_dtype=dt)
     res = cfg.image_shape[0]
-    return celeba_generator(res), celeba_discriminator(res)
+    return (celeba_generator(res, compute_dtype=dt),
+            celeba_discriminator(res, compute_dtype=dt))
 
 
 def _eval_latents(seed: int = 123) -> np.ndarray:
@@ -173,12 +178,29 @@ def train_ref(cfg: ParityConfig, examples: int, out: str, seed: int) -> None:
 
 
 def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
-               ema_decay: float = 0.0) -> None:
+               ema_decay: float = 0.0, bf16: bool = False,
+               adaptive: bool = False) -> None:
     """``ema_decay > 0`` additionally maintains the in-step generator-weight
     EMA and samples the evaluation set from the AVERAGED weights — the A/B
     measuring what the EMA feature buys in final sample quality (same seed,
     same training trajectory; only the sampled weights differ). Outputs land
-    as ``ours_ema_*`` so both arms of a seed can coexist."""
+    as ``ours_ema_*`` so both arms of a seed can coexist.
+
+    ``bf16`` trains the SAME config with ``compute_dtype=bfloat16`` — the
+    dtype every bench.py throughput number uses (round-3 VERDICT missing #2:
+    the perf program and the quality program were never the same program;
+    the WGAN-GP grad-of-grad is exactly where bf16 numerics could bite).
+    Outputs land as ``ours_bf16_*`` so the arm pairs against the f32 golden
+    of the same seed.
+
+    ``adaptive`` replaces the open-loop schedule with the CLOSED-loop
+    AdaptiveBlurController (the reference's log-only controller,
+    /root/reference/callbacks.py:65-135, with assignment enabled) at the
+    same σ₀ — the A/B measuring whether the framework's one novel control
+    feature helps quality at equal examples (round-3 VERDICT missing #3).
+    Outputs land as ``ours_adaptive_*``; meta records the σ trajectory
+    endpoint and examples actually trained (the controller may stop early).
+    """
     sys.path.insert(0, REPO)
     import jax
     import jax.numpy as jnp
@@ -186,14 +208,28 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
     from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
                                        Trainer, TrainerConfig)
 
-    gen, disc = _our_models(cfg)
+    if bf16 and (ema_decay or adaptive) or (ema_decay and adaptive):
+        raise SystemExit("pick one arm per run: --bf16 | --ema_decay | "
+                         "--adaptive (arms pair 1:1 against the plain run)")
+    gen, disc = _our_models(
+        cfg, compute_dtype=jnp.bfloat16 if bf16 else None)
     gan = GAN(gen, disc, blurred=True)
     hp = BlurredWGANGPHyperParameters(batch_size=BATCH,
                                       global_batch_size=BATCH,
                                       ema_decay=ema_decay)
     ds = _corpus(cfg)
-    ctrl = _sigma_controller(cfg, examples)
-    prefix = "ours_ema" if ema_decay else "ours"
+    if adaptive:
+        from blurred_gan_tpu.sched.blur import AdaptiveBlurController
+
+        open_ctrl = None
+        ada_ctrl = AdaptiveBlurController(max_value=cfg.sigma0,
+                                          apply_changes=True)
+        prefix = "ours_adaptive"
+    else:
+        open_ctrl = _sigma_controller(cfg, examples)
+        ada_ctrl = None
+        prefix = "ours_bf16" if bf16 else (
+            "ours_ema" if ema_decay else "ours")
     run_dir = os.path.join(out, f"{prefix}_log_s{seed}")
     tr = Trainer(gan, hp, ds,
                  trainer_config=TrainerConfig(
@@ -208,7 +244,8 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
                      # legitimately exceed any sane per-step deadline.
                      device_fetch_timeout_s=(
                          0.0 if jax.default_backend() == "cpu" else 120.0)),
-                 blur_controller=ctrl)
+                 blur_controller=open_ctrl,
+                 adaptive_controller=ada_ctrl)
     t0 = time.time()
     state = tr.fit(total_examples=examples)
     elapsed = time.time() - t0
@@ -217,7 +254,8 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
     g_weights = state.g_ema if ema_decay else state.g_params
     samples = np.concatenate(
         [np.asarray(gan.generate(g_weights, state.g_stats,
-                                 latents[i:i + 100], train=False)[0])
+                                 latents[i:i + 100], train=False)[0],
+                    dtype=np.float32)
          for i in range(0, N_EVAL, 100)])
     tr.close()
     os.makedirs(out, exist_ok=True)
@@ -225,9 +263,17 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
              samples=samples)
     meta = {"framework": "blurred_gan_tpu", "config": cfg.name, "seed": seed,
             "examples": examples, "backend": jax.default_backend(),
-            "ema_decay": ema_decay,
+            "ema_decay": ema_decay, "compute_dtype":
+                "bfloat16" if bf16 else "float32",
             "images_per_sec": round(examples / elapsed, 2),
             "elapsed_s": round(elapsed, 1)}
+    if adaptive:
+        from blurred_gan_tpu.train.state import wide_value as _wide_value
+
+        meta.update(
+            sigma_final=round(float(tr.ada_state.std), 5),
+            examples_trained=_wide_value(state.n_img),
+            stopped_early=bool(tr.ada_state.stop_training))
     with open(os.path.join(out, f"{prefix}_meta_s{seed}.json"), "w") as f:
         json.dump(meta, f)
     print(json.dumps(meta))
@@ -284,10 +330,11 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
 
     rows = {"reals_floor": score("reals_vs_reals", reals_b)}
     for seed in seeds:
-        for side in ("ref", "ours", "ours_ema"):
+        for side in ("ref", "ours", "ours_ema", "ours_bf16",
+                     "ours_adaptive"):
             path = os.path.join(out, f"{side}_samples_s{seed}.npz")
             if not os.path.exists(path):
-                if side != "ours_ema":  # the EMA arm is optional
+                if side in ("ref", "ours"):  # the other arms are optional
                     print(f"[skip] {path} missing", flush=True)
                 continue
             with np.load(path) as d:
@@ -307,16 +354,20 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
                     gaps[k] = round((o[k] - r[k]) / abs(r[k]), 4)
             print(json.dumps({"rel_gap_ours_vs_ref": gaps, "seed": seed}),
                   flush=True)
-    # EMA arm vs live-weights arm of the same seed (negative = EMA better).
-    for seed in seeds:
-        o, e = rows.get(f"ours_s{seed}"), rows.get(f"ours_ema_s{seed}")
-        if o and e:
-            gaps = {k: round((e[k] - o[k]) / abs(o[k]), 4)
-                    for k in o
-                    if (k == "kid" or k.lower().startswith(("swd", "fid")))
-                    and o[k] != 0}
-            print(json.dumps({"rel_gap_ema_vs_live": gaps, "seed": seed}),
-                  flush=True)
+    # Feature-arm gaps vs the plain f32 open-loop arm of the same seed
+    # (negative = the arm better): EMA weights, bf16 compute, adaptive σ.
+    for arm, label in (("ours_ema", "rel_gap_ema_vs_live"),
+                       ("ours_bf16", "rel_gap_bf16_vs_f32"),
+                       ("ours_adaptive", "rel_gap_adaptive_vs_openloop")):
+        for seed in seeds:
+            o, e = rows.get(f"ours_s{seed}"), rows.get(f"{arm}_s{seed}")
+            if o and e:
+                gaps = {k: round((e[k] - o[k]) / abs(o[k]), 4)
+                        for k in o
+                        if (k == "kid"
+                            or k.lower().startswith(("swd", "fid")))
+                        and o[k] != 0}
+                print(json.dumps({label: gaps, "seed": seed}), flush=True)
 
 
 if __name__ == "__main__":
@@ -333,6 +384,15 @@ if __name__ == "__main__":
                         "sample the eval set from the averaged weights "
                         "(outputs named ours_ema_*; evaluate scores them "
                         "when present)")
+    p.add_argument("--bf16", action="store_true",
+                   help="train_ours: compute_dtype=bfloat16 — the dtype of "
+                        "every bench.py throughput number (outputs named "
+                        "ours_bf16_*; pairs against the f32 run of the "
+                        "same seed)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="train_ours: closed-loop AdaptiveBlurController at "
+                        "the same sigma0 instead of the open-loop schedule "
+                        "(outputs named ours_adaptive_*)")
     p.add_argument("--inception_size", type=int, default=75,
                    help="Inception input resize for scoring; 75 is the fast "
                         "default used throughout BASELINE.md (a deviation "
@@ -345,7 +405,8 @@ if __name__ == "__main__":
         train_ref(cfg, args.examples, args.out, args.seed)
     elif args.cmd == "train_ours":
         train_ours(cfg, args.examples, args.out, args.seed,
-                   ema_decay=args.ema_decay)
+                   ema_decay=args.ema_decay, bf16=args.bf16,
+                   adaptive=args.adaptive)
     else:
         evaluate(cfg, args.out, [int(s) for s in args.seeds.split(",")],
                  args.inception, args.inception_size)
