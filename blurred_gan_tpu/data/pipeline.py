@@ -171,7 +171,7 @@ def load_celeba(path: Optional[str] = None, resolution: int = 128,
             # JPEG decode on the training path.
             if any(n.startswith(_SHARD_PREFIX) and n.endswith(".npy")
                    for n in os.listdir(cand)):
-                ds = ShardedArrayDataset(cand)
+                ds = ShardedArrayDataset(cand, num_examples=num_examples)
                 if ds.image_shape[:2] != (resolution, resolution):
                     raise ValueError(
                         f"{cand} holds {ds.image_shape[0]}px shards but "
@@ -313,9 +313,14 @@ class ShardedArrayDataset:
     checkpoint/resume and multi-host shard contracts carry over unchanged —
     a run can switch between the two storage forms without moving its stream
     position.
+
+    ``num_examples`` caps the store to its first N examples (in shard-name
+    order) — the stream then equals an :class:`ArrayDataset` over the
+    truncated concatenation, so ``--num_examples`` behaves identically on the
+    shard and image-folder paths (it used to be silently ignored here).
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, num_examples: Optional[int] = None):
         names = sorted(n for n in os.listdir(root)
                        if n.startswith(_SHARD_PREFIX) and n.endswith(".npy"))
         if not names:
@@ -333,6 +338,8 @@ class ShardedArrayDataset:
         counts = [s.shape[0] for s in self._shards]
         self._starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         self._total = int(sum(counts))
+        if num_examples:
+            self._total = min(self._total, int(num_examples))
         self.name = f"shards:{os.path.basename(os.path.abspath(root))}"
 
     @property
@@ -354,10 +361,18 @@ class ShardedArrayDataset:
         return out
 
     def materialize(self) -> "ArrayDataset":
-        """Concatenate all shards into RAM — the bridge to device-resident
-        chunked training (same role as ImageFolderDataset.materialize)."""
-        return ArrayDataset(np.concatenate([np.asarray(s)
-                                            for s in self._shards]),
+        """Concatenate the (capped) store into RAM — the bridge to
+        device-resident chunked training (same role as
+        ImageFolderDataset.materialize). Only the shards inside the
+        ``num_examples`` cap are read."""
+        parts, remaining = [], self._total
+        for s in self._shards:
+            take = min(remaining, s.shape[0])
+            if take <= 0:
+                break
+            parts.append(np.asarray(s[:take]))
+            remaining -= take
+        return ArrayDataset(np.concatenate(parts),
                             name=f"{self.name}:materialized")
 
     def batches(self, batch_size: int, *, seed: int = 0, start_epoch: int = 0,

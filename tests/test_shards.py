@@ -4,7 +4,10 @@ Core contract: the shard store's batch stream is bit-identical to an
 ArrayDataset over the concatenated array — resume, multi-host sharding and
 prefetch semantics carry over unchanged (data/pipeline.py)."""
 
+import importlib.util
 import itertools
+import os
+import sys
 
 import numpy as np
 import pytest
@@ -107,6 +110,30 @@ class TestMaterializeAndDiscovery:
         with pytest.raises(ValueError, match="resolution"):
             load_celeba(path=str(tmp_path / "shards"), resolution=64)
 
+    def test_num_examples_cap(self, corpus, store, tmp_path):
+        """ADVICE r3: --num_examples must cap the shard path too, with the
+        stream equal to an ArrayDataset over the truncated concatenation."""
+        capped = ShardedArrayDataset(str(tmp_path / "shards"),
+                                     num_examples=50)
+        assert capped.num_examples == 50
+        truncated = ArrayDataset(corpus.images[:50])
+        a = truncated.batches(16, seed=5)
+        b = capped.batches(16, seed=5)
+        for ba, bb in itertools.islice(zip(a, b), 8):
+            np.testing.assert_array_equal(ba, bb)
+        # materialize honours the cap (and reads only the needed shards)
+        np.testing.assert_array_equal(capped.materialize().images,
+                                      corpus.images[:50])
+        # cap above the store size is a no-op, not an error
+        assert ShardedArrayDataset(str(tmp_path / "shards"),
+                                   num_examples=10_000).num_examples == 100
+
+    def test_load_celeba_honors_cap_on_shard_path(self, store, tmp_path):
+        ds = load_celeba(path=str(tmp_path / "shards"), resolution=12,
+                         num_examples=40)
+        assert isinstance(ds, ShardedArrayDataset)
+        assert ds.num_examples == 40
+
     def test_inconsistent_shards_raise(self, tmp_path):
         d = tmp_path / "bad"
         d.mkdir()
@@ -116,3 +143,51 @@ class TestMaterializeAndDiscovery:
                 np.zeros((3, 9, 9, 3), np.uint8))
         with pytest.raises(ValueError):
             ShardedArrayDataset(str(d))
+
+
+@pytest.fixture(scope="module")
+def make_shards_mod():
+    spec = importlib.util.spec_from_file_location(
+        "make_shards_cli", os.path.join(os.path.dirname(__file__), "..",
+                                        "tools", "make_shards.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestMakeShardsCli:
+    """ADVICE r3: --num_examples / --resolution must not be silently ignored
+    for mnist.npz sources."""
+
+    @pytest.fixture()
+    def mnist_npz(self, tmp_path):
+        rs = np.random.RandomState(1)
+        path = tmp_path / "mnist.npz"
+        np.savez(path, x_train=rs.randint(0, 256, (30, 28, 28), np.uint8),
+                 x_test=rs.randint(0, 256, (5, 28, 28), np.uint8))
+        return str(path)
+
+    def _run(self, mod, monkeypatch, *argv):
+        monkeypatch.setattr(sys, "argv", ["make_shards.py", *argv])
+        mod.main()
+
+    def test_npz_num_examples_cap(self, make_shards_mod, mnist_npz,
+                                  tmp_path, monkeypatch):
+        out = str(tmp_path / "capped")
+        self._run(make_shards_mod, monkeypatch, mnist_npz, out,
+                  "--num_examples", "12", "--shard_size", "8")
+        assert ShardedArrayDataset(out).num_examples == 12
+
+    def test_npz_resolution_flag_rejected(self, make_shards_mod, mnist_npz,
+                                          tmp_path, monkeypatch):
+        with pytest.raises(SystemExit, match="unsupported for"):
+            self._run(make_shards_mod, monkeypatch, mnist_npz,
+                      str(tmp_path / "x"), "--resolution", "64")
+
+    def test_npz_default_resolution_ok(self, make_shards_mod, mnist_npz,
+                                       tmp_path, monkeypatch):
+        out = str(tmp_path / "full")
+        self._run(make_shards_mod, monkeypatch, mnist_npz, out)
+        ds = ShardedArrayDataset(out)
+        assert ds.num_examples == 30
+        assert ds.image_shape == (28, 28, 1)

@@ -39,7 +39,21 @@ def main() -> None:
         src = ImageFolderDataset(args.source, args.resolution,
                                  num_examples=args.num_examples)
     elif args.source.endswith(".npz"):
+        # mnist.npz arrives at its native 28²; --resolution only applies to
+        # image dirs, so a conflicting value is an error, not a silent no-op.
+        explicit_res = any(a == "--resolution" or
+                           a.startswith("--resolution=")
+                           for a in sys.argv[1:])
+        if explicit_res and args.resolution != 28:
+            raise SystemExit(
+                f"--resolution {args.resolution} is unsupported for "
+                f"mnist.npz sources (images are stored at their native "
+                f"28x28); omit the flag")
         src = load_mnist(args.source, allow_synthetic_fallback=False)
+        if args.num_examples:
+            from blurred_gan_tpu.data.pipeline import ArrayDataset
+
+            src = ArrayDataset(src.images[:args.num_examples], name=src.name)
     else:
         raise SystemExit(f"unsupported source: {args.source}")
 
