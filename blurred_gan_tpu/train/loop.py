@@ -49,6 +49,26 @@ from blurred_gan_tpu.utils.watchdog import fetch as watchdog_fetch
 from blurred_gan_tpu.ops.blur import blur_images
 
 
+# Process-topology seam. The library reads the process API through these
+# module-level indirections rather than ``jax.*`` directly so the virtual
+# multi-host harness (tests/test_multihost_virtual.py) can patch the
+# *library's* view of the topology while third-party code that reads
+# ``jax.process_count()`` itself — Orbax in particular, whose multi-host
+# coordination hard-requires the jax.distributed client — keeps seeing the
+# real single-process world. Production behaviour is identical: these ARE
+# the jax functions.
+def _process_count() -> int:
+    return jax.process_count()
+
+
+def _process_index() -> int:
+    return jax.process_index()
+
+
+def _make_array_from_process_local_data(sharding, local):
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
 def _local_shard(x):
     """This process's slice of a (possibly multi-host) global array — host
     hooks (metric feeders, image summaries) operate on addressable data only;
@@ -56,7 +76,7 @@ def _local_shard(x):
     local devices, so they are assembled on host (returned as numpy — every
     consumer is host-side), ordered by global position, with replica
     duplicates dropped (replicated arrays would otherwise stack copies)."""
-    if jax.process_count() > 1:
+    if _process_count() > 1:
         seen, parts = set(), []
         for s in sorted(x.addressable_shards,
                         key=lambda s: s.index[0].start or 0):
@@ -178,7 +198,7 @@ class Trainer:
         # Multi-host with a shared log_dir: only process 0 writes scalars,
         # images and PNGs (Orbax coordinates its own multi-host saves; the
         # JSONL/TensorBoard/PNG sinks would interleave or duplicate).
-        self._is_main = jax.process_index() == 0
+        self._is_main = _process_index() == 0
         self.logger = MetricsLogger(self.cfg.log_dir, enabled=self._is_main)
         ckpt_dir = self.cfg.checkpoint_dir or os.path.join(
             self.cfg.log_dir, "checkpoints")
@@ -310,15 +330,15 @@ class Trainer:
 
     def _sample_grid(self, samples_seen: int, logs: Dict) -> None:
         latents = self.grid_latents
-        if jax.process_count() > 1:
+        if _process_count() > 1:
             # Multi-host: contribute this process's contiguous slice of the
             # fixed latents as a global array; the grid below shows the local
             # samples.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            n_proc, pi = jax.process_count(), jax.process_index()
+            n_proc, pi = _process_count(), _process_index()
             per = latents.shape[0] // n_proc
-            latents = jax.make_array_from_process_local_data(
+            latents = _make_array_from_process_local_data(
                 NamedSharding(self.mesh, P("data")),
                 np.asarray(latents)[pi * per:(pi + 1) * per])
         samples = np.asarray(_local_shard(self.sample_fn(self.state, latents)))
@@ -406,7 +426,7 @@ class Trainer:
         # epoch permutation, so each example appears once per global epoch
         # (SURVEY.md §5.8), and the shards assemble into one global array
         # below.
-        n_proc = jax.process_count()
+        n_proc = _process_count()
         bs = self.hparams.global_batch_size
         local_bs = bs // n_proc
         steps_per_epoch = max(
@@ -416,7 +436,7 @@ class Trainer:
         start_batch = self._n_batches_host % steps_per_epoch
         pipe = DataPipeline(self.dataset, local_bs, seed=self.cfg.seed,
                             start_epoch=start_epoch, start_batch=start_batch,
-                            shard_index=jax.process_index(),
+                            shard_index=_process_index(),
                             shard_count=n_proc)
         batch_sharding = None
         if n_proc > 1:
@@ -446,7 +466,7 @@ class Trainer:
         # during the step dispatch would serialise donated/deleted arrays.
         def to_device(batch):
             if batch_sharding is not None:
-                return jax.make_array_from_process_local_data(
+                return _make_array_from_process_local_data(
                     batch_sharding, np.ascontiguousarray(batch))
             return jax.device_put(batch)
 
@@ -630,7 +650,7 @@ class Trainer:
         self._write_run_manifest()
         assert hasattr(self.dataset, "images"), \
             "device-resident mode needs a memory-resident ArrayDataset"
-        assert jax.process_count() == 1, \
+        assert _process_count() == 1, \
             "device-resident mode is single-host (multi-chip via mesh is fine)"
         bs = self.hparams.global_batch_size
         self._steps_per_epoch = max(self.dataset.num_examples // bs, 1)
@@ -785,14 +805,14 @@ class Trainer:
         if metrics is None:
             metrics = [SWDMetric(), FIDMetric()]
         bs = self.hparams.global_batch_size
-        n_proc = jax.process_count()
+        n_proc = _process_count()
         local_bs = bs // n_proc
         rng = jax.random.PRNGKey(seed)
         # Multi-host: each process reads ITS shard of the reals stream (same
         # shard_index/shard_count as training) so local fakes pair with
         # distinct local reals — num_samples then counts per-process pairs.
         it = self.dataset.batches(local_bs, seed=seed,
-                                  shard_index=jax.process_index(),
+                                  shard_index=_process_index(),
                                   shard_count=n_proc)
         done = 0
         while done < num_samples:
@@ -809,8 +829,8 @@ class Trainer:
             if n_proc > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                pi = jax.process_index()
-                latents = jax.make_array_from_process_local_data(
+                pi = _process_index()
+                latents = _make_array_from_process_local_data(
                     NamedSharding(self.mesh, P("data")),
                     np.asarray(latents)[pi * local_bs:(pi + 1) * local_bs])
             fakes_local = _local_shard(self.sample_fn(self.state, latents))

@@ -125,13 +125,18 @@ def micro_gan():
 
 @pytest.fixture
 def cluster(monkeypatch):
+    """Patch the LIBRARY's process-topology seam (loop_mod._process_*), not
+    ``jax.*`` itself: third-party readers of the real API — Orbax above all,
+    whose multi-host coordination hard-requires the jax.distributed client —
+    keep seeing the true single-process world, which is what lets the real
+    CheckpointManager run inside this harness (TestVirtualCheckpointResume).
+    """
     cl = VirtualCluster()
-    monkeypatch.setattr(jax, "process_count", cl.process_count)
-    monkeypatch.setattr(jax, "process_index", cl.process_index)
-    monkeypatch.setattr(jax, "make_array_from_process_local_data",
+    monkeypatch.setattr(loop_mod, "_process_count", cl.process_count)
+    monkeypatch.setattr(loop_mod, "_process_index", cl.process_index)
+    monkeypatch.setattr(loop_mod, "_make_array_from_process_local_data",
                         cl.make_array_from_process_local_data)
-    # Signal handlers only install from the main thread; checkpointing isn't
-    # under test (and Orbax consults real process state internally).
+    # Signal handlers only install from the main thread.
     monkeypatch.setattr(loop_mod, "save_on_interrupt", _noop_interrupt)
     monkeypatch.setattr(loop_mod, "CheckpointManager", _NullCkpt)
     return cl
@@ -156,6 +161,145 @@ class TestLocalShardAssembly:
         assert len(arr.addressable_shards) == 8  # 8 replica copies
         out = loop_mod._local_shard(arr)
         np.testing.assert_array_equal(out, x)  # one copy, not 8 stacked
+
+
+class _FollowerCkpt:
+    """Non-primary process's checkpoint manager in the virtual cluster.
+
+    Mirrors the production call PATTERN — every process calls save()/restore
+    (loop.py does not gate them on process_index; real Orbax coordinates the
+    writes across hosts) — while the writes themselves stay with process 0:
+    Orbax's cross-host coordination cannot run in one OS process (probed:
+    async saves hard-require the jax.distributed client, and the sync path's
+    broadcast reshapes jax.devices() by process_count). Restores delegate to
+    a REAL read-only CheckpointManager on the shared directory — the
+    production resume flow, where every host reads the same checkpoint."""
+
+    def __init__(self, directory: str):
+        from blurred_gan_tpu.train.checkpoint import CheckpointManager
+
+        self._reader = CheckpointManager(directory)
+        self.save_calls = []
+
+    def save(self, samples_seen, state, aux=None):
+        self.save_calls.append(int(samples_seen))
+
+    def latest_step(self):
+        return self._reader.latest_step()
+
+    def restore_latest(self, template):
+        return self._reader.restore_latest(template)
+
+    def wait_until_finished(self):
+        pass
+
+    def close(self):
+        self._reader.close()
+
+
+class TestVirtualCheckpointResume:
+    """Round-3 VERDICT next #7: the REAL CheckpointManager (the repo's Orbax
+    wrapper — async save, aux dict, counter/migration logic) exercised inside
+    the virtual 2-process training flow: real save → disk → BOTH "hosts"
+    restore the same state through real managers → the disjoint-shard data
+    stream continues at the exact batch position. What still cannot run here
+    (and is documented in docs/OPERATIONS.md): jax.distributed init and
+    Orbax's own cross-host commit barriers."""
+
+    def _spawn(self, cluster, make_trainer, steps):
+        results, errors = {}, []
+
+        def run_process(pi):
+            cluster.tl.pi = pi
+            try:
+                tr = make_trainer(pi)
+                state = tr.fit(total_examples=10_000, max_steps=steps)
+                tr.close()
+                results[pi] = (state, tr)
+            except BaseException as e:  # noqa: BLE001
+                errors.append((pi, e))
+                try:
+                    cluster.barrier.abort()
+                except Exception:
+                    pass
+
+        threads = [threading.Thread(target=run_process, args=(pi,))
+                   for pi in range(N_PROC)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=1800)
+        assert not errors, f"virtual process failed: {errors}"
+        return results
+
+    def test_real_orbax_save_and_two_process_resume(self, cluster, tmp_path,
+                                                    monkeypatch):
+        from blurred_gan_tpu.train.checkpoint import CheckpointManager
+
+        followers = {}
+
+        def ckpt_factory(directory, **kw):
+            if cluster.tl.pi == 0:
+                return CheckpointManager(directory, **kw)
+            f = _FollowerCkpt(directory)
+            followers[id(f)] = f
+            return f
+
+        monkeypatch.setattr(loop_mod, "CheckpointManager", ckpt_factory)
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        hp = BlurredWGANGPHyperParameters(batch_size=4, global_batch_size=8,
+                                          learning_rate=1e-3)
+        log_dir = str(tmp_path / "shared_run")
+
+        def make_trainer(pi):
+            return Trainer(
+                micro_gan(), hp,
+                synthetic_dataset((8, 8, 1), num_examples=64),
+                trainer_config=TrainerConfig(
+                    log_dir=log_dir,
+                    checkpoint_every_n_examples=0,  # fit-end save only
+                    sample_grid_every_n_examples=0,
+                    image_summaries_interval_batches=0,
+                    log_metrics_every_n_examples=0,
+                    save_sample_pngs=False, seed=0),
+                mesh=mesh,
+                blur_controller=BlurDecayController(640, max_value=1.0))
+
+        # Phase 1: train 5 steps; process 0's REAL manager saves at fit end,
+        # process 1 issues the same save call (follower records it).
+        res1 = self._spawn(cluster, make_trainer, steps=5)
+        state0, _ = res1[0]
+        assert int(state0.n_batches) == 5
+        f = list(followers.values())
+        assert len(f) == 1 and f[0].save_calls == [40], \
+            "process 1 must issue the same fit-end save call as process 0"
+        ckdir = tmp_path / "shared_run" / "checkpoints"
+        assert (ckdir / "40").is_dir(), "real Orbax wrote the step dir"
+
+        # Phase 2: fresh 2-process Trainers on the same run dir — BOTH
+        # restore through real manager reads, then continue 2 more steps.
+        cluster.first_training_contribs = None
+        followers.clear()
+        res2 = self._spawn(cluster, make_trainer, steps=2)
+        (s0, tr0), (s1, tr1) = res2[0], res2[1]
+        assert tr0.restored_examples == tr1.restored_examples == 40
+        assert int(s0.n_batches) == int(s1.n_batches) == 7
+        for a, b in zip(jax.tree_util.tree_leaves(s0),
+                        jax.tree_util.tree_leaves(s1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # The resumed stream continued at the exact position: the first
+        # assembled batch of phase 2 is batch #5 of the same seed-0 epoch
+        # permutation, in the same disjoint per-process shards.
+        ds = synthetic_dataset((8, 8, 1), num_examples=64)
+        c0, c1 = cluster.first_training_contribs
+        np.testing.assert_array_equal(
+            c0, next(ds.batches(4, seed=0, start_batch=5,
+                                shard_index=0, shard_count=2)))
+        np.testing.assert_array_equal(
+            c1, next(ds.batches(4, seed=0, start_batch=5,
+                                shard_index=1, shard_count=2)))
 
 
 class TestVirtualTwoProcessTraining:
