@@ -279,8 +279,52 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
     print(json.dumps(meta))
 
 
+def _is_quality_metric(key: str) -> bool:
+    # The north-star metrics (lower = better): SWD levels/avg, both FIDs, KID
+    # point estimate (kid_std is an error bar, not a score; PRDC components
+    # are higher-better diagnostics — both excluded from gap/pool math).
+    return key == "kid" or key.lower().startswith(("swd", "fid"))
+
+
+def _pooled_stats(rows: dict, seeds, side_a: str, side_b: str) -> dict | None:
+    """Pooled A-vs-B statistics over every seed where both sides scored:
+    per-metric medians/means with relative gaps (positive = B worse, the
+    BASELINE.md convention for 'ours vs ref'), and per-seed win counts.
+    This is the reproducible form of the hand-built 'Pooled over all N
+    paired seeds' tables (round-3 VERDICT next #4's accept/reject input)."""
+    paired = [s for s in seeds
+              if f"{side_a}_s{s}" in rows and f"{side_b}_s{s}" in rows]
+    if len(paired) < 2:
+        return None
+    metrics = [k for k in rows[f"{side_a}_s{paired[0]}"]
+               if _is_quality_metric(k)]
+    pooled, wins = {}, {side_a: 0, side_b: 0}
+    for m in metrics:
+        a = np.array([rows[f"{side_a}_s{s}"][m] for s in paired], float)
+        b = np.array([rows[f"{side_b}_s{s}"][m] for s in paired], float)
+        med_a, med_b = float(np.median(a)), float(np.median(b))
+        w_a, w_b = int(np.sum(b > a)), int(np.sum(a > b))
+        wins[side_a] += w_a
+        wins[side_b] += w_b
+        pooled[m] = {
+            f"median_{side_a}": round(med_a, 4),
+            f"median_{side_b}": round(med_b, 4),
+            "rel_gap_median": (round((med_b - med_a) / abs(med_a), 4)
+                               if med_a else None),
+            f"mean_{side_a}": round(float(a.mean()), 4),
+            f"mean_{side_b}": round(float(b.mean()), 4),
+            "rel_gap_mean": (round(float(b.mean() - a.mean())
+                                   / abs(float(a.mean())), 4)
+                             if a.mean() else None),
+            "wins": f"{side_a} {w_a} / {side_b} {w_b}",
+        }
+    return {"pooled": f"{side_b}_vs_{side_a}", "n_paired_seeds": len(paired),
+            "seeds": paired, "stats": pooled,
+            "total_wins_of_all_comparisons": wins}
+
+
 def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
-             inception_size: int = 75) -> None:
+             inception_size: int = 75, pool: bool = False) -> None:
     sys.path.insert(0, REPO)
     from blurred_gan_tpu.metrics import FIDMetric, SWDMetric
 
@@ -346,7 +390,7 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
         if r and o:
             gaps = {}
             for k in r:
-                if k != "kid" and not k.lower().startswith(("swd", "fid")):
+                if not _is_quality_metric(k):
                     continue
                 if r[k] == 0:  # rounded-to-zero reference: gap undefined
                     gaps[k] = f"ref=0 (ours abs {o[k]})"
@@ -363,11 +407,15 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
             o, e = rows.get(f"ours_s{seed}"), rows.get(f"{arm}_s{seed}")
             if o and e:
                 gaps = {k: round((e[k] - o[k]) / abs(o[k]), 4)
-                        for k in o
-                        if (k == "kid"
-                            or k.lower().startswith(("swd", "fid")))
-                        and o[k] != 0}
+                        for k in o if _is_quality_metric(k) and o[k] != 0}
                 print(json.dumps({label: gaps, "seed": seed}), flush=True)
+    if pool:
+        for a, b in (("ref", "ours"), ("ours", "ours_ema"),
+                     ("ours", "ours_bf16"), ("ours", "ours_adaptive"),
+                     ("ref", "ours_adaptive")):
+            stats = _pooled_stats(rows, seeds, a, b)
+            if stats:
+                print(json.dumps(stats), flush=True)
 
 
 if __name__ == "__main__":
@@ -393,6 +441,11 @@ if __name__ == "__main__":
                    help="train_ours: closed-loop AdaptiveBlurController at "
                         "the same sigma0 instead of the open-loop schedule "
                         "(outputs named ours_adaptive_*)")
+    p.add_argument("--pool", action="store_true",
+                   help="evaluate: after per-seed rows, print pooled "
+                        "median/mean/wins statistics over all paired seeds "
+                        "(the BASELINE.md pooled-table numbers, "
+                        "reproducibly)")
     p.add_argument("--inception_size", type=int, default=75,
                    help="Inception input resize for scoring; 75 is the fast "
                         "default used throughout BASELINE.md (a deviation "
@@ -409,4 +462,4 @@ if __name__ == "__main__":
                    adaptive=args.adaptive)
     else:
         evaluate(cfg, args.out, [int(s) for s in args.seeds.split(",")],
-                 args.inception, args.inception_size)
+                 args.inception, args.inception_size, pool=args.pool)
