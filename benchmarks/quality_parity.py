@@ -109,7 +109,8 @@ def _sigma_controller(cfg: ParityConfig, total_examples: int):
                                max_value=cfg.sigma0)
 
 
-def _our_models(cfg: ParityConfig, compute_dtype=None):
+def _our_models(cfg: ParityConfig, compute_dtype=None,
+                upsample: str = "transpose"):
     import jax.numpy as jnp
 
     from blurred_gan_tpu.models import (celeba_discriminator,
@@ -118,10 +119,10 @@ def _our_models(cfg: ParityConfig, compute_dtype=None):
 
     dt = compute_dtype or jnp.float32
     if cfg.arch == "mnist":
-        return mnist_generator(compute_dtype=dt), mnist_discriminator(
-            compute_dtype=dt)
+        return (mnist_generator(compute_dtype=dt, upsample=upsample),
+                mnist_discriminator(compute_dtype=dt))
     res = cfg.image_shape[0]
-    return (celeba_generator(res, compute_dtype=dt),
+    return (celeba_generator(res, compute_dtype=dt, upsample=upsample),
             celeba_discriminator(res, compute_dtype=dt))
 
 
@@ -179,7 +180,8 @@ def train_ref(cfg: ParityConfig, examples: int, out: str, seed: int) -> None:
 
 def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
                ema_decay: float = 0.0, bf16: bool = False,
-               adaptive: bool = False) -> None:
+               adaptive: bool = False, ref_grad_scale: bool = False,
+               gen_upsample: str = "transpose") -> None:
     """``ema_decay > 0`` additionally maintains the in-step generator-weight
     EMA and samples the evaluation set from the AVERAGED weights — the A/B
     measuring what the EMA feature buys in final sample quality (same seed,
@@ -208,15 +210,20 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
     from blurred_gan_tpu.train import (BlurredWGANGPHyperParameters, GAN,
                                        Trainer, TrainerConfig)
 
-    if bf16 and (ema_decay or adaptive) or (ema_decay and adaptive):
+    arms = [bool(bf16), bool(ema_decay), bool(adaptive),
+            bool(ref_grad_scale), gen_upsample != "transpose"]
+    if sum(arms) > 1:
         raise SystemExit("pick one arm per run: --bf16 | --ema_decay | "
-                         "--adaptive (arms pair 1:1 against the plain run)")
+                         "--adaptive | --ref_grad_scale | --gen_upsample "
+                         "(arms pair 1:1 against the plain run)")
     gen, disc = _our_models(
-        cfg, compute_dtype=jnp.bfloat16 if bf16 else None)
+        cfg, compute_dtype=jnp.bfloat16 if bf16 else None,
+        upsample=gen_upsample)
     gan = GAN(gen, disc, blurred=True)
     hp = BlurredWGANGPHyperParameters(batch_size=BATCH,
                                       global_batch_size=BATCH,
-                                      ema_decay=ema_decay)
+                                      ema_decay=ema_decay,
+                                      reference_grad_scale=ref_grad_scale)
     ds = _corpus(cfg)
     if adaptive:
         from blurred_gan_tpu.sched.blur import AdaptiveBlurController
@@ -228,8 +235,11 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
     else:
         open_ctrl = _sigma_controller(cfg, examples)
         ada_ctrl = None
-        prefix = "ours_bf16" if bf16 else (
-            "ours_ema" if ema_decay else "ours")
+        prefix = ("ours_bf16" if bf16 else
+                  "ours_ema" if ema_decay else
+                  "ours_refscale" if ref_grad_scale else
+                  "ours_resize" if gen_upsample != "transpose" else
+                  "ours")
     run_dir = os.path.join(out, f"{prefix}_log_s{seed}")
     tr = Trainer(gan, hp, ds,
                  trainer_config=TrainerConfig(
@@ -375,7 +385,7 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
     rows = {"reals_floor": score("reals_vs_reals", reals_b)}
     for seed in seeds:
         for side in ("ref", "ours", "ours_ema", "ours_bf16",
-                     "ours_adaptive"):
+                     "ours_adaptive", "ours_refscale", "ours_resize"):
             path = os.path.join(out, f"{side}_samples_s{seed}.npz")
             if not os.path.exists(path):
                 if side in ("ref", "ours"):  # the other arms are optional
@@ -402,7 +412,9 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
     # (negative = the arm better): EMA weights, bf16 compute, adaptive σ.
     for arm, label in (("ours_ema", "rel_gap_ema_vs_live"),
                        ("ours_bf16", "rel_gap_bf16_vs_f32"),
-                       ("ours_adaptive", "rel_gap_adaptive_vs_openloop")):
+                       ("ours_adaptive", "rel_gap_adaptive_vs_openloop"),
+                       ("ours_refscale", "rel_gap_refscale_vs_default"),
+                       ("ours_resize", "rel_gap_resize_vs_transpose")):
         for seed in seeds:
             o, e = rows.get(f"ours_s{seed}"), rows.get(f"{arm}_s{seed}")
             if o and e:
@@ -412,7 +424,8 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
     if pool:
         for a, b in (("ref", "ours"), ("ours", "ours_ema"),
                      ("ours", "ours_bf16"), ("ours", "ours_adaptive"),
-                     ("ref", "ours_adaptive")):
+                     ("ref", "ours_adaptive"), ("ours", "ours_refscale"),
+                     ("ours", "ours_resize"), ("ref", "ours_resize")):
             stats = _pooled_stats(rows, seeds, a, b)
             if stats:
                 print(json.dumps(stats), flush=True)
@@ -441,6 +454,18 @@ if __name__ == "__main__":
                    help="train_ours: closed-loop AdaptiveBlurController at "
                         "the same sigma0 instead of the open-loop schedule "
                         "(outputs named ours_adaptive_*)")
+    p.add_argument("--ref_grad_scale", action="store_true",
+                   help="train_ours: reference_grad_scale=True — reproduce "
+                        "the reference's accidental ×B critic gradient "
+                        "(wgan.py:282-284), the one deliberate semantic "
+                        "divergence of this framework's default step "
+                        "(outputs named ours_refscale_*)")
+    p.add_argument("--gen_upsample", default="transpose",
+                   choices=["transpose", "resize"],
+                   help="train_ours: generator upsampling operator — "
+                        "'resize' swaps ConvTranspose for "
+                        "nearest-2x + Conv (Odena et al. resize-convolution,"
+                        " flat artifact prior; outputs named ours_resize_*)")
     p.add_argument("--pool", action="store_true",
                    help="evaluate: after per-seed rows, print pooled "
                         "median/mean/wins statistics over all paired seeds "
@@ -459,7 +484,9 @@ if __name__ == "__main__":
     elif args.cmd == "train_ours":
         train_ours(cfg, args.examples, args.out, args.seed,
                    ema_decay=args.ema_decay, bf16=args.bf16,
-                   adaptive=args.adaptive)
+                   adaptive=args.adaptive,
+                   ref_grad_scale=args.ref_grad_scale,
+                   gen_upsample=args.gen_upsample)
     else:
         evaluate(cfg, args.out, [int(s) for s in args.seeds.split(",")],
                  args.inception, args.inception_size, pool=args.pool)

@@ -57,9 +57,25 @@ class DCGANGenerator(nn.Module):
     #   25 MB/step f32 round-trip at CelebA-128 b128.
     bn_dtype: jnp.dtype | None = None
     output_f32: bool = True
+    # Upsampling operator for the stride-2 stages:
+    # - "transpose": ConvTranspose(5x5, s2) — the reference's operator
+    #   (demo_celeba.py:66-90). Uneven kernel overlap at k=5/s=2 imprints a
+    #   checkerboard prior on whatever part of the spectrum the critic does
+    #   not constrain (e.g. everything above the blur cutoff in the
+    #   heavy-blur regime; see BASELINE.md's round-4 diagnosis).
+    # - "resize": nearest-neighbour 2x + Conv(5x5, s1) — the
+    #   resize-convolution of Odena et al. 2016 ("Deconvolution and
+    #   Checkerboard Artifacts"); every output pixel sees the same tap
+    #   pattern, so the architecture's artifact prior is flat. Beyond-parity
+    #   option; TPU-friendly (the 2x repeat is a free relayout fused into the
+    #   following MXU conv).
+    upsample: str = "transpose"
 
     @nn.compact
     def __call__(self, z, *, train: bool = False):
+        if self.upsample not in ("transpose", "resize"):
+            raise ValueError(f"upsample must be 'transpose' or 'resize', "
+                             f"got {self.upsample!r}")
         bn_dtype = self.bn_dtype or jnp.float32
         h0, w0 = self.init_hw
         x = nn.Dense(h0 * w0 * self.init_features, use_bias=False,
@@ -68,18 +84,27 @@ class DCGANGenerator(nn.Module):
                          epsilon=1e-3, dtype=bn_dtype)(x)
         x = nn.leaky_relu(x, LEAKY_SLOPE)
         x = x.reshape((x.shape[0], h0, w0, self.init_features))
+
+        def up(x, features, stride):
+            if self.upsample == "resize" and stride > 1:
+                x = jnp.repeat(jnp.repeat(x, stride, axis=1), stride, axis=2)
+                return nn.Conv(features, (5, 5), strides=(1, 1),
+                               padding="SAME", use_bias=False,
+                               kernel_init=_glorot,
+                               dtype=self.compute_dtype)(x)
+            return nn.ConvTranspose(features, (5, 5),
+                                    strides=(stride, stride),
+                                    padding="SAME", use_bias=False,
+                                    kernel_init=_glorot,
+                                    dtype=self.compute_dtype)(x)
+
         for features, stride in self.blocks:
-            x = nn.ConvTranspose(features, (5, 5), strides=(stride, stride),
-                                 padding="SAME", use_bias=False,
-                                 kernel_init=_glorot, dtype=self.compute_dtype)(x)
+            x = up(x, features, stride)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=bn_dtype)(x)
             x = nn.leaky_relu(x, LEAKY_SLOPE)
         if self.final_transpose:
-            x = nn.ConvTranspose(self.out_channels, (5, 5),
-                                 strides=(self.final_stride, self.final_stride),
-                                 padding="SAME", use_bias=False,
-                                 kernel_init=_glorot, dtype=self.compute_dtype)(x)
+            x = up(x, self.out_channels, self.final_stride)
         else:
             x = nn.Conv(self.out_channels, (5, 5),
                         strides=(self.final_stride, self.final_stride),
@@ -118,12 +143,14 @@ class DCGANDiscriminator(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def mnist_generator(latent_size: int = 100, compute_dtype=jnp.float32):
+def mnist_generator(latent_size: int = 100, compute_dtype=jnp.float32,
+                    upsample: str = "transpose"):
     """28x28x1 generator (demo_mnist.py:48-71)."""
     return DCGANGenerator(
         latent_size=latent_size, init_hw=(7, 7), init_features=256,
         blocks=((128, 1), (64, 2)), out_channels=1,
-        final_transpose=True, final_stride=2, compute_dtype=compute_dtype)
+        final_transpose=True, final_stride=2, compute_dtype=compute_dtype,
+        upsample=upsample)
 
 
 def mnist_discriminator(compute_dtype=jnp.float32):
@@ -133,7 +160,7 @@ def mnist_discriminator(compute_dtype=jnp.float32):
 
 def celeba_generator(resolution: int = 128, latent_size: int = 100,
                      compute_dtype=jnp.float32, bn_dtype=None,
-                     output_f32: bool = True):
+                     output_f32: bool = True, upsample: str = "transpose"):
     """CelebA generator at a power-of-two resolution >= 8.
 
     At 128 this is exactly demo_celeba.py:51-93 (4x4x512 -> 6 ConvT stages -> Conv
@@ -149,7 +176,7 @@ def celeba_generator(resolution: int = 128, latent_size: int = 100,
         latent_size=latent_size, init_hw=(4, 4), init_features=512,
         blocks=tuple(blocks), out_channels=3,
         final_transpose=False, final_stride=1, compute_dtype=compute_dtype,
-        bn_dtype=bn_dtype, output_f32=output_f32)
+        bn_dtype=bn_dtype, output_f32=output_f32, upsample=upsample)
 
 
 def celeba_discriminator(resolution: int = 128, compute_dtype=jnp.float32):

@@ -70,6 +70,45 @@ class TestModelZoo:
         x = g.apply(gv, z, train=False)
         assert float(jnp.max(jnp.abs(x))) <= 1.0
 
+    @pytest.mark.parametrize("factory,res,shape", [
+        (lambda: mnist_generator(upsample="resize"), None, (2, 28, 28, 1)),
+        (lambda: celeba_generator(64, upsample="resize"), 64, (2, 64, 64, 3)),
+    ])
+    def test_resize_upsample_shapes(self, factory, res, shape):
+        # The resize-convolution variant (Odena et al.) must hit the exact
+        # output geometry of the transpose variant at every resolution.
+        g = factory()
+        z = jnp.zeros((2, 100))
+        gv = g.init(jax.random.PRNGKey(0), z, train=False)
+        x = g.apply(gv, z, train=False)
+        assert x.shape == shape
+
+    def test_resize_upsample_trains(self):
+        # One full blurred WGAN-GP step on the resize generator: finite loss,
+        # params move (grad-of-grad through the new path included).
+        g = celeba_generator(16, upsample="resize")
+        d = celeba_discriminator(16)
+        gan = GAN(g, d, blurred=True)
+        hp = BlurredWGANGPHyperParameters(batch_size=4, global_batch_size=4)
+        state = create_train_state(gan, hp, jax.random.PRNGKey(0),
+                                   (16, 16, 3))
+        before = np.asarray(jax.tree_util.tree_leaves(state.g_params)[0])
+        step = make_train_step(gan, hp, donate_state=False)
+        reals = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3),
+                                   minval=-1.0, maxval=1.0)
+        state2, metrics, _ = step(state, reals, jnp.float32(1.5),
+                                  jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["disc_loss"]))
+        assert np.isfinite(float(metrics["gen_loss"]))
+        after = np.asarray(jax.tree_util.tree_leaves(state2.g_params)[0])
+        assert after.shape == before.shape and not np.array_equal(after,
+                                                                  before)
+
+    def test_resize_upsample_rejects_unknown(self):
+        g = DCGANGenerator(upsample="nearest??")
+        with pytest.raises(ValueError):
+            g.init(jax.random.PRNGKey(0), jnp.zeros((1, 100)), train=False)
+
 
 class TestGaussianBlurLayer:
     def test_explicit_sigma_matches_op(self):

@@ -60,6 +60,13 @@ def main():
                              "instead of float32 round-trips (BN statistics "
                              "still accumulate in float32; A/B'd in "
                              "BASELINE.md)")
+    parser.add_argument("--gen_upsample", default="transpose",
+                        choices=["transpose", "resize"],
+                        help="generator upsampling: 'transpose' = "
+                             "ConvTranspose 5x5 s2 (reference parity); "
+                             "'resize' = nearest-2x + Conv 5x5 "
+                             "(resize-convolution, Odena et al. 2016 — flat "
+                             "checkerboard prior; A/B'd in BASELINE.md)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--run_name", type=str, default=None,
                         help="create an auto-numbered results/NN-<name> run dir")
@@ -106,6 +113,7 @@ def main():
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     gen_kw = ({"bn_dtype": dtype, "output_f32": False}
               if (args.fast_gen and args.bf16) else {})
+    gen_kw["upsample"] = args.gen_upsample
     gan = GAN(celeba_generator(args.resolution, compute_dtype=dtype, **gen_kw),
               celeba_discriminator(args.resolution, compute_dtype=dtype),
               blurred=True)
