@@ -176,13 +176,18 @@ def bench_infer(gan, batch, resolution, steps, on_tpu, use_export):
     # Fresh uploaded VALUES alone do not defeat the relay execution cache
     # (probed, CLAUDE.md); only chaining on prior output buffers does.
     @jax.jit
-    def run(prev_probes):
+    def run(prev_probes, rep_idx):
+        # Salt from the previous rep's output buffers (chaining, see above)
+        # PLUS the host-side rep index: probe means truncating to the same
+        # int32 would otherwise replay an identical latent stream and trip
+        # the 'differs from warmup' assert spuriously (round-4 ADVICE) —
+        # folding the rep in makes salt collisions structurally impossible.
         salt = (prev_probes.sum() * 1e4).astype(jnp.int32)
+        key = jax.random.fold_in(jax.random.fold_in(base, salt), rep_idx)
 
         def body(carry, i):
-            z = jax.random.uniform(
-                jax.random.fold_in(jax.random.fold_in(base, salt), i),
-                (batch, gan.latent_size), jnp.float32)
+            z = jax.random.uniform(jax.random.fold_in(key, i),
+                                   (batch, gan.latent_size), jnp.float32)
             images = gen_fn(z)
             return carry, jnp.abs(images.astype(jnp.float32)).mean()
 
@@ -194,12 +199,14 @@ def bench_infer(gan, batch, resolution, steps, on_tpu, use_export):
         compile_budget = fetch_budget = 0.0
 
     try:
-        _, probes = run(jnp.zeros((steps,), jnp.float32))  # compile + warmup
+        _, probes = run(jnp.zeros((steps,), jnp.float32),
+                        jnp.int32(0))  # compile + warmup
         warm = fetch(probes, compile_budget, what="infer warmup (compile)")
         dt = float("inf")
         for rep in range(3 if on_tpu else 1):
             t0 = time.perf_counter()
-            _, probes = run(probes)  # chained on the previous rep's output
+            # chained on the previous rep's output, salted by rep index
+            _, probes = run(probes, jnp.int32(rep + 1))
             vals = fetch(probes, fetch_budget, what="infer timed fetch")
             dt = min(dt, time.perf_counter() - t0)
             assert np.isfinite(vals).all() and not np.array_equal(vals, warm), \
@@ -548,11 +555,12 @@ def main():
     if (on_tpu and not args.no_peak and args.batch is None
             and args.resolution is None):
         try:
-            hp_peak = BlurredWGANGPHyperParameters(
-                batch_size=128, global_batch_size=128,
-                ema_decay=args.ema_decay,
-                gp_every_n_steps=args.gp_every,
-                grad_accumulation_steps=args.grad_accum)
+            # Derived from the already-mutated headline hp (round-4 ADVICE):
+            # any hp override applied above (e.g. --gen_gate cond's opaque
+            # d_steps_per_g_step) must carry into the peak program too, so
+            # peak_* measures the same specialization as the headline.
+            hp_peak = dataclasses.replace(hp, batch_size=128,
+                                          global_batch_size=128)
             state_p = create_train_state(gan, hp_peak, jax.random.PRNGKey(0),
                                          (resolution, resolution, 3))
             step_p = make_train_step(gan, hp_peak, donate_state=False)

@@ -24,8 +24,14 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("source", help="directory of images, or an mnist.npz")
     p.add_argument("out_dir", help="empty output directory for shard-*.npy")
-    p.add_argument("--resolution", type=int, default=128,
-                   help="centre-crop + resize target for image dirs")
+    # Sentinel default (round-4 ADVICE): argparse accepts unambiguous prefix
+    # abbreviations ('--res 64'), so sniffing sys.argv for the literal flag
+    # missed those and silently sharded at the wrong size. None = unset; the
+    # image-dir default (128) is resolved below. Also keeps main() correct
+    # when invoked programmatically with a synthetic argv.
+    p.add_argument("--resolution", type=int, default=None,
+                   help="centre-crop + resize target for image dirs "
+                        "(default 128; unsupported for mnist.npz)")
     p.add_argument("--shard_size", type=int, default=4096,
                    help="examples per shard file")
     p.add_argument("--num_examples", type=int, default=None,
@@ -36,15 +42,14 @@ def main() -> None:
                                                load_mnist, write_shards)
 
     if os.path.isdir(args.source):
-        src = ImageFolderDataset(args.source, args.resolution,
+        src = ImageFolderDataset(args.source,
+                                 128 if args.resolution is None
+                                 else args.resolution,
                                  num_examples=args.num_examples)
     elif args.source.endswith(".npz"):
         # mnist.npz arrives at its native 28²; --resolution only applies to
         # image dirs, so a conflicting value is an error, not a silent no-op.
-        explicit_res = any(a == "--resolution" or
-                           a.startswith("--resolution=")
-                           for a in sys.argv[1:])
-        if explicit_res and args.resolution != 28:
+        if args.resolution is not None and args.resolution != 28:
             raise SystemExit(
                 f"--resolution {args.resolution} is unsupported for "
                 f"mnist.npz sources (images are stored at their native "
