@@ -346,8 +346,35 @@ def _pooled_stats(rows: dict, seeds, side_a: str, side_b: str) -> dict | None:
             "total_wins_of_all_comparisons": wins}
 
 
+def _merge_recorded_rows(rows: dict, paths) -> None:
+    """Merge rows from earlier ``evaluate`` JSONL outputs for sample sets
+    absent on disk (e.g. the tracked ``results/quality/**/eval_*.jsonl``
+    reference rows whose ~50 MB npz sets were never committed): fresh
+    same-platform scores always win — only missing ``<side>_s<seed>`` keys
+    are filled — so pooled stats can pair new experiment arms against the
+    recorded reference rows. Cross-platform mixing is sound to ~0.1-0.3%
+    (BASELINE.md round-2/3 re-scores)."""
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                name = row.get("samples", "")
+                if ("_s" in name and name not in rows
+                        and name != "reals_vs_reals"):
+                    rows[name] = row
+                    print(json.dumps({"merged_recorded_row": name,
+                                      "from": path}), flush=True)
+
+
 def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
-             inception_size: int = 75, pool: bool = False) -> None:
+             inception_size: int = 75, pool: bool = False,
+             rows_from=()) -> None:
     sys.path.insert(0, REPO)
     from blurred_gan_tpu.metrics import FIDMetric, SWDMetric
 
@@ -407,6 +434,8 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
             with np.load(path) as d:
                 rows[f"{side}_s{seed}"] = score(f"{side}_s{seed}",
                                                 d["samples"])
+    if rows_from:
+        _merge_recorded_rows(rows, rows_from)
     # Relative gaps per seed (the 5% north-star, BASELINE.json).
     for seed in seeds:
         r, o = rows.get(f"ref_s{seed}"), rows.get(f"ours_s{seed}")
@@ -485,6 +514,11 @@ if __name__ == "__main__":
                         "median/mean/wins statistics over all paired seeds "
                         "(the BASELINE.md pooled-table numbers, "
                         "reproducibly)")
+    p.add_argument("--rows_from", type=str, default="",
+                   help="evaluate: comma-separated JSONL files from earlier "
+                        "evaluate runs; rows for sample sets absent on disk "
+                        "are merged in (fresh scores win), so pooled stats "
+                        "can pair new arms against recorded reference rows")
     p.add_argument("--inception_size", type=int, default=75,
                    help="Inception input resize for scoring; 75 is the fast "
                         "default used throughout BASELINE.md (a deviation "
@@ -503,4 +537,5 @@ if __name__ == "__main__":
                    gen_upsample=args.gen_upsample)
     else:
         evaluate(cfg, args.out, [int(s) for s in args.seeds.split(",")],
-                 args.inception, args.inception_size, pool=args.pool)
+                 args.inception, args.inception_size, pool=args.pool,
+                 rows_from=[p for p in args.rows_from.split(",") if p])

@@ -51,3 +51,25 @@ def test_pooled_stats_no_tie_suffix_when_no_ties():
     out = qp._pooled_stats(rows, [0, 1], "ref", "ours")
     assert out["stats"]["kid"]["wins"] == "ref 1 / ours 1"
     assert out["total_wins_of_all_comparisons"]["ties"] == 0
+
+
+def test_merge_recorded_rows_fills_only_missing(tmp_path):
+    qp = _load_qp()
+    jsonl = tmp_path / "eval.jsonl"
+    jsonl.write_text(
+        "[fid] scoring note line\n"
+        '{"samples": "reals_vs_reals", "kid": 0.0}\n'
+        '{"samples": "ref_s6", "kid": 0.5, "SWDx1e3_avg": 222.7}\n'
+        '{"samples": "ours_s6", "kid": 0.9}\n'
+        "not json at all\n")
+    rows = {"ours_s6": {"kid": 0.7}}  # fresh score must win
+    qp._merge_recorded_rows(rows, [str(jsonl)])
+    assert rows["ref_s6"]["SWDx1e3_avg"] == 222.7  # missing side merged
+    assert rows["ours_s6"]["kid"] == 0.7  # fresh row kept
+    assert "reals_vs_reals" not in rows  # floor rows never merged
+    # merged rows pair with fresh ones in pooled stats
+    rows["ref_s7"] = {"kid": 0.4, "SWDx1e3_avg": 200.0}
+    rows["ours_s7"] = {"kid": 0.6, "SWDx1e3_avg": 300.0}
+    rows["ours_s6"]["SWDx1e3_avg"] = 250.0
+    out = qp._pooled_stats(rows, [6, 7], "ref", "ours")
+    assert out["n_paired_seeds"] == 2
