@@ -188,7 +188,8 @@ def train_ref(cfg: ParityConfig, examples: int, out: str, seed: int) -> None:
 def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
                ema_decay: float = 0.0, bf16: bool = False,
                adaptive: bool = False, ref_grad_scale: bool = False,
-               gen_upsample: str = "transpose") -> None:
+               gen_upsample: str = "transpose", ttur_g_lr: float = 0.0,
+               d_steps: int = 1) -> None:
     """``ema_decay > 0`` additionally maintains the in-step generator-weight
     EMA and samples the evaluation set from the AVERAGED weights — the A/B
     measuring what the EMA feature buys in final sample quality (same seed,
@@ -218,10 +219,12 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
                                        Trainer, TrainerConfig)
 
     arms = [bool(bf16), bool(ema_decay), bool(adaptive),
-            bool(ref_grad_scale), gen_upsample != "transpose"]
+            bool(ref_grad_scale), gen_upsample != "transpose",
+            bool(ttur_g_lr), d_steps != 1]
     if sum(arms) > 1:
         raise SystemExit("pick one arm per run: --bf16 | --ema_decay | "
-                         "--adaptive | --ref_grad_scale | --gen_upsample "
+                         "--adaptive | --ref_grad_scale | --gen_upsample | "
+                         "--ttur_g_lr | --d_steps "
                          "(arms pair 1:1 against the plain run)")
     gen, disc = _our_models(
         cfg, compute_dtype=jnp.bfloat16 if bf16 else None,
@@ -230,7 +233,9 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
     hp = BlurredWGANGPHyperParameters(batch_size=BATCH,
                                       global_batch_size=BATCH,
                                       ema_decay=ema_decay,
-                                      reference_grad_scale=ref_grad_scale)
+                                      reference_grad_scale=ref_grad_scale,
+                                      g_learning_rate=ttur_g_lr,
+                                      d_steps_per_g_step=d_steps)
     ds = _corpus(cfg)
     if adaptive:
         from blurred_gan_tpu.sched.blur import AdaptiveBlurController
@@ -246,6 +251,8 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
                   "ours_ema" if ema_decay else
                   "ours_refscale" if ref_grad_scale else
                   "ours_resize" if gen_upsample != "transpose" else
+                  "ours_ttur" if ttur_g_lr else
+                  f"ours_d{d_steps}" if d_steps != 1 else
                   "ours")
     run_dir = os.path.join(out, f"{prefix}_log_s{seed}")
     tr = Trainer(gan, hp, ds,
@@ -425,7 +432,8 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
     rows = {"reals_floor": score("reals_vs_reals", reals_b)}
     for seed in seeds:
         for side in ("ref", "ours", "ours_ema", "ours_bf16",
-                     "ours_adaptive", "ours_refscale", "ours_resize"):
+                     "ours_adaptive", "ours_refscale", "ours_resize",
+                     "ours_ttur", "ours_d2"):
             path = os.path.join(out, f"{side}_samples_s{seed}.npz")
             if not os.path.exists(path):
                 if side in ("ref", "ours"):  # the other arms are optional
@@ -456,7 +464,9 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
                        ("ours_bf16", "rel_gap_bf16_vs_f32"),
                        ("ours_adaptive", "rel_gap_adaptive_vs_openloop"),
                        ("ours_refscale", "rel_gap_refscale_vs_default"),
-                       ("ours_resize", "rel_gap_resize_vs_transpose")):
+                       ("ours_resize", "rel_gap_resize_vs_transpose"),
+                       ("ours_ttur", "rel_gap_ttur_vs_sharedlr"),
+                       ("ours_d2", "rel_gap_d2_vs_d1")):
         for seed in seeds:
             o, e = rows.get(f"ours_s{seed}"), rows.get(f"{arm}_s{seed}")
             if o and e:
@@ -468,7 +478,9 @@ def evaluate(cfg: ParityConfig, out: str, seeds, use_inception: bool,
                      ("ours", "ours_bf16"), ("ours", "ours_adaptive"),
                      ("ref", "ours_adaptive"), ("ours", "ours_refscale"),
                      ("ours", "ours_resize"), ("ref", "ours_resize"),
-                     ("ref", "ours_refscale"), ("ref", "ours_ema")):
+                     ("ref", "ours_refscale"), ("ref", "ours_ema"),
+                     ("ours", "ours_ttur"), ("ref", "ours_ttur"),
+                     ("ours", "ours_d2"), ("ref", "ours_d2")):
             stats = _pooled_stats(rows, seeds, a, b)
             if stats:
                 print(json.dumps(stats), flush=True)
@@ -514,6 +526,15 @@ if __name__ == "__main__":
                         "median/mean/wins statistics over all paired seeds "
                         "(the BASELINE.md pooled-table numbers, "
                         "reproducibly)")
+    p.add_argument("--ttur_g_lr", type=float, default=0.0,
+                   help="train_ours: TTUR — a separate generator learning "
+                        "rate (the critic keeps --learning_rate's default "
+                        "1e-3; the reference shares one lr, wgan.py:39-43). "
+                        "Outputs named ours_ttur_*")
+    p.add_argument("--d_steps", type=int, default=1,
+                   help="train_ours: d_steps_per_g_step — e.g. 2 trains the "
+                        "critic twice per generator step (outputs named "
+                        "ours_d<N>_*)")
     p.add_argument("--rows_from", type=str, default="",
                    help="evaluate: comma-separated JSONL files from earlier "
                         "evaluate runs; rows for sample sets absent on disk "
@@ -534,7 +555,8 @@ if __name__ == "__main__":
                    ema_decay=args.ema_decay, bf16=args.bf16,
                    adaptive=args.adaptive,
                    ref_grad_scale=args.ref_grad_scale,
-                   gen_upsample=args.gen_upsample)
+                   gen_upsample=args.gen_upsample,
+                   ttur_g_lr=args.ttur_g_lr, d_steps=args.d_steps)
     else:
         evaluate(cfg, args.out, [int(s) for s in args.seeds.split(",")],
                  args.inception, args.inception_size, pool=args.pool,

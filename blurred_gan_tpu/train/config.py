@@ -37,6 +37,13 @@ class WGANHyperParameters(JsonSerializable, ParseableFromCommandLine):
     """
 
     learning_rate: float = 0.001
+    # TTUR (Heusel et al. 2017; beyond-parity, off at 0.0): a separate
+    # generator learning rate. The reference shares one lr between both
+    # networks (wgan.py:39-43,56-61); 0.0 keeps that parity default, any
+    # other value gives the generator its own Adam schedule (the critic
+    # keeps ``learning_rate``). Adam state layout is lr-independent, so
+    # checkpoints remain structure-compatible either way.
+    g_learning_rate: float = 0.0
     d_steps_per_g_step: int = 1
     batch_size: int = 32           # per replica
     global_batch_size: int = 32    # batch_size * num replicas

@@ -146,6 +146,10 @@ def create_train_state(gan: GAN, hparams, rng, image_shape) -> TrainState:
     d_vars = gan.discriminator.init(d_rng, x, train=False)
 
     opt = make_optimizer(hparams.optimizer, hparams.learning_rate)
+    g_opt = make_optimizer(
+        hparams.optimizer,
+        float(getattr(hparams, "g_learning_rate", 0.0) or 0.0)
+        or hparams.learning_rate)
     g_params = g_vars["params"]
     g_stats = g_vars.get("batch_stats", {})
     d_params = d_vars["params"]
@@ -154,7 +158,7 @@ def create_train_state(gan: GAN, hparams, rng, image_shape) -> TrainState:
         g_params=g_params,
         g_stats=g_stats,
         d_params=d_params,
-        g_opt_state=opt.init(g_params),
+        g_opt_state=g_opt.init(g_params),
         d_opt_state=opt.init(d_params),
         n_img=wide_counter(0),
         n_batches=jnp.zeros((), jnp.int32),

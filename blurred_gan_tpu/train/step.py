@@ -59,6 +59,10 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
     default replicates all state (pure DP).
     """
     opt = make_optimizer(hparams.optimizer, hparams.learning_rate)
+    # TTUR: the generator gets its own optimizer when g_learning_rate is set
+    # (same transformation otherwise, so the default program is unchanged).
+    g_lr = float(getattr(hparams, "g_learning_rate", 0.0) or 0.0)
+    g_opt = make_optimizer(hparams.optimizer, g_lr) if g_lr else opt
     global_bs = float(hparams.global_batch_size)
     gp_coefficient = getattr(hparams, "gp_coefficient", None)
     e_drift = getattr(hparams, "e_drift", 0.0)
@@ -191,7 +195,7 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
             z_g = gan.sample_latents(k_zg, batch)
             (g_loss, new_stats), g_grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True)(g_params, g_stats, d_params, z_g, sigma)
-            g_updates, new_g_opt = opt.update(g_grads, g_opt_state, g_params)
+            g_updates, new_g_opt = g_opt.update(g_grads, g_opt_state, g_params)
             new_g_params = jax.tree_util.tree_map(
                 lambda p, u: p + u, g_params, g_updates)
             if use_ema:
@@ -353,7 +357,7 @@ def make_train_step(gan: GAN, hparams, mesh: Mesh | None = None,
             zeros = jax.tree_util.tree_map(jnp.zeros_like, g_params)
             (g_grads, g_loss, new_stats), _ = jax.lax.scan(
                 body, (zeros, jnp.float32(0.0), g_stats), micro_z_g)
-            g_updates, new_g_opt = opt.update(g_grads, g_opt_state, g_params)
+            g_updates, new_g_opt = g_opt.update(g_grads, g_opt_state, g_params)
             new_g_params = jax.tree_util.tree_map(
                 lambda p, u: p + u, g_params, g_updates)
             if use_ema:
