@@ -77,6 +77,14 @@ def main():
                              " ~9.5 GB; SWD/FID cadence measured at chunk"
                              " boundaries)")
     parser.add_argument("--chunk_steps", type=int, default=100)
+    parser.add_argument("--sample_grid_every", type=int, default=5_000,
+                        help="examples between fixed-latent sample grids "
+                             "(reference cadence 5k, callbacks.py:209-236; "
+                             "raise for high resolutions where the host-side "
+                             "PNG writing competes with training dispatch)")
+    parser.add_argument("--checkpoint_every", type=int, default=10_000,
+                        help="examples between checkpoints (reference "
+                             "cadence 10k, callbacks.py:239-246)")
     parser.add_argument("--fetch_timeout_s", type=float, default=0.0,
                         help="device-hang watchdog: per-train-step budget "
                              "(seconds) for the metric fetch — chunked mode "
@@ -145,6 +153,8 @@ def main():
             checkpoint_dir=config.checkpoint_dir,
             image_summaries_interval_batches=(
                 config.save_image_summaries_interval),
+            sample_grid_every_n_examples=args.sample_grid_every,
+            checkpoint_every_n_examples=args.checkpoint_every,
             device_fetch_timeout_s=args.fetch_timeout_s,
             seed=args.seed),
         mesh=make_mesh(),
