@@ -23,9 +23,24 @@ the deterministic synthetic fallback, held-out order (last N of the fixed
 RandomState(10_000) shuffle). Run on CPU or the TPU; scoring is
 platform-independent to ~0.1% (BASELINE.md round 2).
 
+``--grids_from <dir>``: clip-domain fallback for sides whose npz sample
+sets no longer exist but whose 8x8 grid PNGs are tracked (the round-4
+reference heavy-blur sets: results/quality/heavy64/grids/). Those grids
+were rendered straight from [-1, 1] samples through samples_grid's
+clip(x, 0, 1) (utils/images.py:47), so the negative half is crushed; to
+keep comparisons paired, when this flag is set EVERY side — reals, npz
+sets, grid sets — is transformed to the same clip(x, 0, 1) domain and
+subsampled to the 64 grid tiles' count. Clip-domain band ratios are
+qualitative (which band carries the excess), not protocol scores; the
+grid-roundtrip fidelity of that signature is pinned by
+tests/test_diagnose_grid.py.
+
 Usage:
   python tools/diagnose_samples.py --dir /tmp/qp_hb64 --config celeba64 \
       --seeds 6,7,8 --sides ref,ours --sigma 4.94
+  python tools/diagnose_samples.py --dir results/quality/heavy64/work \
+      --config celeba64 --seeds 6 --sides ref,ours,ours_adaptive \
+      --grids_from results/quality/heavy64/grids
 """
 
 from __future__ import annotations
@@ -59,10 +74,41 @@ def spectrum_bands(x: np.ndarray) -> dict:
             for name, lo, hi in BANDS}
 
 
-def pixel_stats(x: np.ndarray) -> dict:
-    return {"mean": round(float(x.mean()), 4),
-            "std": round(float(x.std()), 4),
-            "sat": round(float((np.abs(x) > 0.98).mean()), 4)}
+def pixel_stats(x: np.ndarray, clip_domain: bool = False) -> dict:
+    stats = {"mean": round(float(x.mean()), 4),
+             "std": round(float(x.std()), 4),
+             "sat": round(float((np.abs(x) > 0.98).mean()), 4)}
+    if clip_domain:  # clip(x, 0, 1) domain: rails sit at 0 and 1
+        stats["rail0"] = round(float((x < 0.01).mean()), 4)
+        stats["rail1"] = round(float((x > 0.99).mean()), 4)
+        stats["sat"] = round(stats["rail0"] + stats["rail1"], 4)
+    return stats
+
+
+def load_grid_samples(path: str, res: int, pad: int = 2,
+                      grid=(8, 8)) -> np.ndarray:
+    """Recover the 64 tiles of a samples_grid PNG as a clip-domain set.
+
+    The PNG stores clip(x, 0, 1) of the original [-1, 1] samples
+    (utils/images.py:41-50 renders the raw array); the inverse here keeps
+    that clip domain (values in [0, 1]) rather than remapping to [-1, 1],
+    so callers compare every side under the same transform.
+    """
+    from PIL import Image
+
+    img = np.asarray(Image.open(path)).astype(np.float32) / 255.0
+    rows, cols = grid
+    tiles = []
+    for i in range(rows):
+        for j in range(cols):
+            y, x = pad + i * (res + pad), pad + j * (res + pad)
+            tiles.append(img[y:y + res, x:x + res])
+    return np.stack(tiles)
+
+
+def to_clip_domain(x: np.ndarray) -> np.ndarray:
+    """The samples_grid render transform: [-1, 1] -> clip(x, 0, 1)."""
+    return np.clip(x, 0.0, 1.0)
 
 
 def main() -> None:
@@ -81,16 +127,28 @@ def main() -> None:
                         "heavy-blur CelebA protocol)")
     p.add_argument("--save_grids", default="",
                    help="directory: also write 8x8 sample grids per set")
+    p.add_argument("--grids_from", default="",
+                   help="directory with g_<side>_s<seed>.png grids: fall "
+                        "back to grid tiles for sides whose npz is missing; "
+                        "switches EVERY side to the paired clip(x,0,1) "
+                        "domain at n=64 (see module doc)")
     args = p.parse_args()
 
     import quality_parity as qp
 
     cfg = qp.CONFIGS[args.config]
+    res = cfg.image_shape[0]
     ds = qp._corpus(cfg)
     order = np.random.RandomState(10_000).permutation(ds.num_examples)
     reals = ds.images[order[-N_EVAL:]].astype(np.float32) / 127.5 - 1.0
+    n_eval = N_EVAL
+    if args.grids_from:
+        n_eval = 64
+        reals = to_clip_domain(reals[:n_eval])
     reals_bank = spectrum_bands(reals)
-    print(json.dumps({"set": "reals", **pixel_stats(reals),
+    print(json.dumps({"set": "reals", "n": len(reals),
+                      "domain": "clip01" if args.grids_from else "pm1",
+                      **pixel_stats(reals, clip_domain=bool(args.grids_from)),
                       "bands": {k: round(v, 1)
                                 for k, v in reals_bank.items()}}),
           flush=True)
@@ -118,7 +176,7 @@ def main() -> None:
 
         swd, fid = SWDMetric(), FIDMetric()
         fb = blur_np(fakes)
-        for i in range(0, N_EVAL, 100):
+        for i in range(0, len(fakes), 100):
             swd.update_state(reals_blur[i:i + 100], fb[i:i + 100])
             fid.update_state(reals_blur[i:i + 100], fb[i:i + 100])
         out = {k: round(float(v), 2) for k, v in swd.results().items()}
@@ -128,12 +186,27 @@ def main() -> None:
     for seed in [int(s) for s in args.seeds.split(",")]:
         for side in args.sides.split(","):
             path = os.path.join(args.dir, f"{side}_samples_s{seed}.npz")
-            if not os.path.exists(path):
+            source = "npz"
+            if os.path.exists(path):
+                with np.load(path) as d:
+                    fakes = d["samples"]
+                if args.grids_from:
+                    fakes = to_clip_domain(fakes[:n_eval])
+            elif args.grids_from:
+                gpath = os.path.join(args.grids_from,
+                                     f"g_{side}_s{seed}.png")
+                if not os.path.exists(gpath):
+                    print(f"[skip] {path} and {gpath} missing", flush=True)
+                    continue
+                fakes = load_grid_samples(gpath, res)
+                source = "grid_png"
+            else:
                 print(f"[skip] {path} missing", flush=True)
                 continue
-            with np.load(path) as d:
-                fakes = d["samples"]
-            row = {"set": f"{side}_s{seed}", **pixel_stats(fakes)}
+            row = {"set": f"{side}_s{seed}", "n": len(fakes),
+                   "source": source,
+                   **pixel_stats(fakes,
+                                 clip_domain=bool(args.grids_from))}
             bands = spectrum_bands(fakes)
             # Bands past the Nyquist radius are empty at small resolutions
             # (e.g. vhi_24+ at 28x28): no ratio to report there.
