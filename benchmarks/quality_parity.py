@@ -291,6 +291,16 @@ def train_ours(cfg: ParityConfig, examples: int, out: str, seed: int,
                 "bfloat16" if bf16 else "float32",
             "images_per_sec": round(examples / elapsed, 2),
             "elapsed_s": round(elapsed, 1)}
+    # Arm hyperparameters, so every meta sidecar states the exact arm surface
+    # (a round-4 ttur meta was indistinguishable from the plain run's).
+    if ref_grad_scale:
+        meta["reference_grad_scale"] = True
+    if gen_upsample != "transpose":
+        meta["gen_upsample"] = gen_upsample
+    if ttur_g_lr:
+        meta["ttur_g_lr"] = ttur_g_lr
+    if d_steps != 1:
+        meta["d_steps_per_g_step"] = d_steps
     if adaptive:
         from blurred_gan_tpu.train.state import wide_value as _wide_value
 
