@@ -47,13 +47,19 @@ MIN_RESOLUTION = 16
 
 
 def swd_resolutions(resolution: int) -> List[int]:
-    """Pyramid level resolutions: full res halved down to 16 (metrics.py:119-122)."""
+    """Pyramid level resolutions: full res halved down to 16 (metrics.py:119-122).
+
+    Below 16² (outside the reference protocol, which assumes ≥16) the pyramid
+    would be empty — fall back to a single level at the native resolution so
+    tiny-resolution runs (e.g. ``train_celeba --resolution 8``) still get a
+    well-defined SWD instead of crashing on a zero-level extractor.
+    """
     out = []
     res = resolution
     while res >= MIN_RESOLUTION:
         out.append(res)
         res //= 2
-    return out
+    return out or [resolution]
 
 
 # ---------------------------------------------------------------------------

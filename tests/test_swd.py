@@ -67,6 +67,20 @@ class TestPyramid:
         assert S.swd_resolutions(128) == [128, 64, 32, 16]
         assert S.swd_resolutions(28) == [28]
         assert S.swd_resolutions(16) == [16]
+        # Below the protocol floor: single native-resolution level, not [].
+        assert S.swd_resolutions(8) == [8]
+
+    def test_metric_below_protocol_floor(self):
+        # res-8 runs crashed with a zero-level extractor (IndexError on an
+        # empty key split); the fallback gives one native level.
+        m = S.SWDMetric()
+        rng = np.random.RandomState(3)
+        r = rng.rand(8, 8, 8, 3).astype(np.float32) * 2 - 1
+        f = rng.rand(8, 8, 8, 3).astype(np.float32) * 2 - 1
+        m.update_state(r, f)
+        out = m.results()
+        assert set(out) == {"SWDx1e3_8", "SWDx1e3_avg"}
+        assert np.isfinite(out["SWDx1e3_8"])
 
 
 class TestDescriptors:

@@ -122,6 +122,16 @@ def main():
     gen_kw = ({"bn_dtype": dtype, "output_f32": False}
               if (args.fast_gen and args.bf16) else {})
     gen_kw["upsample"] = args.gen_upsample
+    if args.gen_upsample == "transpose" and args.max_blur_std >= 1.0:
+        # Heavy-blur curricula never show the critic pixel-scale structure,
+        # so the ConvTranspose checkerboard prior goes unpenalised and the
+        # unblurred eval bills it (BASELINE.md "Heavy-64 experiment arms":
+        # resize deletes the artifact band on every seed and wins ~30x on
+        # feature metrics). Parity default stays transpose; say so loudly.
+        print("[train_celeba] note: max_blur_std "
+              f"{args.max_blur_std:g} >= 1 with the 'transpose' upsampler - "
+              "heavy-blur curricula measure substantially better with "
+              "--gen_upsample resize (see BASELINE.md)", flush=True)
     gan = GAN(celeba_generator(args.resolution, compute_dtype=dtype, **gen_kw),
               celeba_discriminator(args.resolution, compute_dtype=dtype),
               blurred=True)
