@@ -388,6 +388,12 @@ def main():
                         "every N critic steps (scaled by N; "
                         "hparams.gp_every_n_steps) — skips the GP "
                         "double-backward on the other steps")
+    p.add_argument("--gen_upsample", type=str, default="transpose",
+                   choices=["transpose", "resize"],
+                   help="generator upsampling operator: 'resize' is the "
+                        "nearest-2x + Conv resize-convolution that deletes "
+                        "the heavy-regime checkerboard prior (BASELINE.md "
+                        "heavy-64 arms) — this flag prices its step cost")
     p.add_argument("--f32", action="store_true",
                    help="compute in float32 instead of the TPU default "
                         "bfloat16 — publishes the measured cost of the "
@@ -459,6 +465,8 @@ def main():
     gen_kw = {}
     if args.fast_gen:
         gen_kw = {"bn_dtype": dtype, "output_f32": False}
+    if args.gen_upsample != "transpose":
+        gen_kw["upsample"] = args.gen_upsample
     gan = GAN(celeba_generator(resolution, compute_dtype=dtype, **gen_kw),
               celeba_discriminator(resolution, compute_dtype=dtype),
               blurred=True, blur_impl=args.blur_impl)
@@ -546,6 +554,8 @@ def main():
         "flops_per_step": (round(flops_per_step) if flops_per_step else None),
         "mfu_vs_bf16_peak": (round(mfu, 4) if mfu else None),
     }
+    if args.gen_upsample != "transpose":
+        out["gen_upsample"] = args.gen_upsample
 
     # Self-contained artifact (round-3 VERDICT weak #5): the b32 headline is
     # the reference's default batch, but this architecture's peak is b128
